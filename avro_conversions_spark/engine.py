@@ -1,0 +1,228 @@
+"""ValidationEngine: compile a constraint set against an observed schema,
+run it over a DataFrame, emit (verdicts, violations).
+
+Execution shape (designed for 100 TB / 1000 executors; see SURVEY.md §3.3):
+
+1. plan-time: every constraint's ``check_plan`` runs on the driver against
+   the observed schema — incompatibilities fail fast with ResolvingFailure,
+   exactly like the reference's resolver compile
+   (opwvhk/avro/io/AsAvroParserBase.java:369-398).
+2. row pass: ALL row constraints evaluate in ONE columnar scan — each row
+   projects an array of violation structs, filtered and exploded. Catalyst
+   prunes the scan to exactly the constrained + key columns and fuses the
+   predicates into one WholeStageCodegen span. N constraints != N scans.
+3. aggregate passes: uniqueness (salted two-phase agg), referential
+   (broadcast/sort-merge anti join), sequence (per-conversation window) each
+   contribute violation rows; their shuffles are keyed independently so AQE
+   can size each exchange.
+4. verdicts: violation counts come from the (small) violations output;
+   rows_checked comes from a column-pruned count over only the partition
+   key — a metadata-cheap second scan, not a second full read.
+
+Output schemas are frozen in FIXTURES.md §5; violation ordering is
+canonical ``ORDER BY key..., constraint`` and observed values use a frozen
+formatting spec (timestamps: ISO-8601 with 6-digit micros + offset,
+decimals: plain string) so golden fixtures byte-match (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from avro_conversions_spark.constraints.core import RowConstraint
+from avro_conversions_spark.constraints.referential import ReferentialConstraint
+from avro_conversions_spark.constraints.sequence import SequenceConstraint
+from avro_conversions_spark.constraints.uniqueness import UniqueConstraint
+
+TS_CANON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def canonical_str(col: Column, dtype: T.DataType) -> Column:
+    """Frozen formatting spec for the ``observed`` field (byte-match
+    requirement)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.date_format(col, TS_CANON_FMT)
+    return col.cast("string")
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame
+    violations: DataFrame
+
+
+@dataclass
+class ValidationEngine:
+    row_constraints: Sequence[RowConstraint] = ()
+    unique_constraints: Sequence[UniqueConstraint] = ()
+    referential_constraints: Sequence[ReferentialConstraint] = ()
+    sequence_constraints: Sequence[SequenceConstraint] = ()
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    partition_expr: Column | None = None  # verdict granularity; default global
+
+    # ------------------------------------------------------------------ plan
+
+    def check_plan(self, schema: T.StructType) -> None:
+        for c in self.row_constraints:
+            c.check_plan(schema)
+        for cols in [u.columns for u in self.unique_constraints]:
+            for col in cols:
+                if col not in schema.fieldNames():
+                    from avro_conversions_spark.schema.resolution import ResolvingFailure
+
+                    raise ResolvingFailure(f"unique key column {col!r} absent")
+
+    # ------------------------------------------------------------- row pass
+
+    def _row_violations(self, df: DataFrame) -> DataFrame:
+        if not self.row_constraints:
+            return None  # type: ignore[return-value]
+        schema = df.schema
+        structs = []
+        for c in self.row_constraints:
+            dtype = schema[c.column].dataType
+            structs.append(
+                F.when(
+                    c.violation(),
+                    F.struct(
+                        F.lit(c.name).alias("constraint"),
+                        F.lit(c.column).alias("column"),
+                        F.lit(c.reason).alias("reason"),
+                        canonical_str(F.col(c.column), dtype).alias("observed"),
+                    ),
+                )
+            )
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        return (
+            df.select(*self.key_cols, arr.alias("_v"))
+            .where(F.size("_v") > 0)
+            .select(*self.key_cols, F.explode("_v").alias("_e"))
+            .select(*self.key_cols, "_e.*")
+        )
+
+    # ------------------------------------------------------------ agg passes
+
+    def _agg_violations(self, df: DataFrame) -> list[DataFrame]:
+        out: list[DataFrame] = []
+        key_cols = list(self.key_cols)
+        for u in self.unique_constraints:
+            v = u.violations(df)
+            # uniqueness violations key on the duplicated key itself; pad any
+            # missing engine key columns with nulls for a uniform schema
+            missing = [k for k in key_cols if k not in v.columns]
+            for m in missing:
+                v = v.withColumn(m, F.lit(None).cast(df.schema[m].dataType))
+            out.append(v.select(*key_cols, "constraint", "column", "reason", "observed"))
+        for r in self.referential_constraints:
+            out.append(r.violation_rows(df, key_cols))
+        for s in self.sequence_constraints:
+            v = s.violations(df)
+            rename = {s.conv_col: key_cols[0], s.idx_col: key_cols[1]}
+            for old, new in rename.items():
+                if old != new:
+                    v = v.withColumnRenamed(old, new)
+            out.append(v.select(*key_cols, "constraint", "column", "reason", "observed"))
+        return out
+
+    # ------------------------------------------------------------------ run
+
+    def violations_df(self, df: DataFrame) -> DataFrame:
+        parts: list[DataFrame] = []
+        rv = self._row_violations(df)
+        if rv is not None:
+            parts.append(rv)
+        parts.extend(self._agg_violations(df))
+        if not parts:
+            raise ValueError("no constraints configured")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def run(self, df: DataFrame, run_id: str = "run-0") -> ValidationResult:
+        self.check_plan(df.schema)
+        part = (self.partition_expr if self.partition_expr is not None else F.lit("global")).alias(
+            "partition_key"
+        )
+
+        violations = (
+            self.violations_df(df)
+            .select(
+                F.lit(run_id).alias("run_id"),
+                *self.key_cols,
+                "constraint",
+                "column",
+                "reason",
+                "observed",
+            )
+            .orderBy(*self.key_cols, "constraint")
+        )
+
+        all_names = (
+            [c.name for c in self.row_constraints]
+            + [u.name for u in self.unique_constraints]
+            + [r.name for r in self.referential_constraints]
+            + [s.name for s in self.sequence_constraints]
+        )
+        names_df = df.sparkSession.createDataFrame(
+            [(n,) for n in all_names], "constraint string"
+        )
+
+        # rows_checked: column-pruned scan over just the partition expression
+        rows_checked = (
+            df.select(part)
+            .groupBy("partition_key")
+            .agg(F.count(F.lit(1)).alias("rows_checked"))
+        )
+        # violation counts from the (small) violations side
+        key0 = self.key_cols[0]
+        vio_part = (
+            violations.join(
+                df.select(part, *[F.col(k) for k in self.key_cols]).dropDuplicates(
+                    list(self.key_cols)
+                ),
+                on=list(self.key_cols),
+                how="left",
+            )
+            if self.partition_expr is not None
+            else violations.withColumn("partition_key", F.lit("global"))
+        )
+        vio_counts = vio_part.groupBy("partition_key", "constraint").agg(
+            F.count(F.lit(1)).alias("violation_count")
+        )
+
+        verdicts = (
+            rows_checked.crossJoin(names_df)
+            .join(vio_counts, ["partition_key", "constraint"], "left")
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "partition_key",
+                "constraint",
+                F.when(F.coalesce("violation_count", F.lit(0)) > 0, F.lit("fail"))
+                .otherwise(F.lit("pass"))
+                .alias("status"),
+                F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+                "rows_checked",
+                F.create_map(
+                    F.lit("engine"), F.lit("avro_conversions_spark"),
+                ).alias("metrics"),
+            )
+            .orderBy("partition_key", "constraint")
+        )
+        return ValidationResult(verdicts=verdicts, violations=violations)
+
+    # ------------------------------------------------------------- repairs
+
+    def repaired(self, df: DataFrame) -> DataFrame:
+        """Apply every constraint's repair (e.g. enum default substitution,
+        io/AsAvroParserBase.java:443) returning the cleaned DataFrame."""
+        out = df
+        for c in self.row_constraints:
+            if c.repair is not None:
+                out = out.withColumn(c.column, c.repair(F.col(c.column)))
+        return out

@@ -1,0 +1,20 @@
+from avro_conversions_spark.schema.model import (  # noqa: F401
+    ArrayType,
+    DecimalType,
+    EnumType,
+    Field,
+    FixedType,
+    LogicalType,
+    PrimitiveType,
+    ReadType,
+    RecordType,
+    from_avsc,
+    to_spark_type,
+)
+from avro_conversions_spark.schema.resolution import (  # noqa: F401
+    ColumnPlan,
+    ResolvingFailure,
+    SchemaResolver,
+    WriteType,
+    from_spark_schema,
+)

@@ -1,0 +1,796 @@
+"""Plan-time schema resolution: observed (write) Spark schema vs declared
+(read) Avro-style schema → compiled per-column conversion plans.
+
+This mirrors the reference's one-time resolver compilation
+(opwvhk/avro/io/AsAvroParserBase.java:369-398): an ordered list of rules,
+first match wins, no match → ResolvingFailure raised on the driver before
+any data is touched. The compiled output here is not an interpreter tree
+but a list of ``ColumnPlan``s, each a pure ``pyspark.sql.Column``
+expression pair (converter, violation-predicate) that Catalyst folds into
+whole-stage codegen. Executors never see this module.
+
+Rule semantics ported (SURVEY.md §2.2 R1-R39):
+- widening int→long→float→double; lossy decimal→float/double and
+  anything→string (doc/index.md:36-39); string rules ordered last
+  (opwvhk/avro/json/JsonAsAvroParser.java:167);
+- integer bit-size election (util/DecimalRange.java:177-185);
+- decimal precision/scale compatibility (json/JsonAsAvroParser.java:77-82)
+  and *exact* scale semantics — RoundingMode.UNNECESSARY
+  (io/AsAvroParserBase.java:457-462) becomes a regex scale/precision guard,
+  not Spark's rounding cast;
+- enum subset-or-default (json/JsonAsAvroParser.java:84-92) with runtime
+  default substitution (io/AsAvroParserBase.java:437-445);
+- string format date/time/date-time (json/JsonAsAvroParser.java:158-166);
+- contentEncoding base16/base64 → bytes/fixed with size assertion
+  (io/AsAvroParserBase.java:471-496);
+- record field matching by name + aliases, unknown writer fields skipped,
+  missing reader field filled from default else failure
+  (json/JsonAsAvroParser.java:199-224);
+- writer-nullable vs reader-non-nullable failure
+  (json/JsonAsAvroParser.java:187-197);
+- single-value-as-array wrap and nested-array rejection
+  (xml/XmlAsAvroParser.java:226-261).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from avro_conversions_spark.schema.model import (
+    ArrayType,
+    DecimalType,
+    EnumType,
+    Field,
+    FixedType,
+    LogicalType,
+    PrimitiveType,
+    ReadType,
+    RecordType,
+    to_spark_type,
+)
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
+
+
+class ResolvingFailure(Exception):
+    """Raised at plan time when a write type cannot resolve against a read
+    type (reference: opwvhk/avro/ResolvingFailure.java)."""
+
+
+@dataclass(frozen=True)
+class WriteType:
+    """Observed writer-side type: a Spark DataType plus optional metadata
+    (the analogue of the reference's SchemaProperties,
+    opwvhk/avro/json/SchemaProperties.java:17-41)."""
+
+    dtype: T.DataType
+    nullable: bool = True
+    format: str | None = None  # 'date' | 'time' | 'date-time' | 'local-date-time'
+    content_encoding: str | None = None  # 'base16' | 'base64'
+    symbols: tuple[str, ...] | None = None  # declared writer enum domain
+    min_value: float | int | None = None  # observed/declared numeric range
+    max_value: float | int | None = None
+    fields: dict[str, "WriteType"] = dc_field(default_factory=dict)  # struct members
+    items: "WriteType | None" = None  # array element
+
+
+def from_spark_schema(
+    schema: T.StructType, annotations: dict[str, dict[str, Any]] | None = None
+) -> WriteType:
+    """Build the writer-side WriteType tree from an observed Spark schema.
+
+    ``annotations`` adds per-column metadata keyed by top-level column name,
+    e.g. {'role': {'symbols': ('user','assistant')},
+          'ts_str': {'format': 'date-time'}}.
+    """
+    annotations = annotations or {}
+
+    def build(dt: T.DataType, nullable: bool, ann: dict[str, Any]) -> WriteType:
+        kwargs = dict(
+            format=ann.get("format"),
+            content_encoding=ann.get("content_encoding"),
+            symbols=tuple(ann["symbols"]) if "symbols" in ann else None,
+            min_value=ann.get("min_value"),
+            max_value=ann.get("max_value"),
+        )
+        if isinstance(dt, T.StructType):
+            return WriteType(
+                dt,
+                nullable,
+                fields={
+                    f.name: build(f.dataType, f.nullable, ann.get(f.name, {}))
+                    for f in dt.fields
+                },
+                **kwargs,
+            )
+        if isinstance(dt, T.ArrayType):
+            return WriteType(
+                dt,
+                nullable,
+                items=build(dt.elementType, dt.containsNull, ann.get("items", {})),
+                **kwargs,
+            )
+        return WriteType(dt, nullable, **kwargs)
+
+    return build(schema, False, annotations)
+
+
+@dataclass
+class Converter:
+    """A compiled conversion: pure Column functions, shippable anywhere."""
+
+    convert: Callable[[Column], Column]
+    # true where the input is non-null but cannot be represented in the read
+    # type — the row becomes a violation row, never an exception
+    violation: Callable[[Column], Column] | None
+    reason: str
+    spark_type: T.DataType
+
+
+@dataclass
+class ColumnPlan:
+    """Resolution result for one top-level read field."""
+
+    name: str  # read field name
+    source: str | None  # writer column (None → filled from default)
+    read_type: ReadType
+    nullable: bool
+    converter: Converter
+    default: Any = ...
+
+    def value(self) -> Column:
+        if self.source is None:
+            return F.lit(self.default).cast(self.converter.spark_type).alias(self.name)
+        col = self.converter.convert(F.col(self.source))
+        if self.default is not ... and self.default is not None:
+            col = F.coalesce(col, F.lit(self.default).cast(self.converter.spark_type))
+        return col.alias(self.name)
+
+    def violation_pred(self) -> Column | None:
+        if self.source is None or self.converter.violation is None:
+            return None
+        return self.converter.violation(F.col(self.source))
+
+
+def _no_violation(_c: Column) -> Column:
+    return F.lit(False)
+
+
+def _identity(c: Column) -> Column:
+    return c
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+def _is_integral(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _int_bits(wt: WriteType) -> int:
+    """Bit size needed by the writer's integer range
+    (reference: util/DecimalRange.java:177-185). Unknown range → width of
+    the physical type."""
+    if wt.min_value is not None and wt.max_value is not None:
+        lo, hi = int(wt.min_value), int(wt.max_value)
+        if INT32_MIN <= lo and hi <= INT32_MAX:
+            return 32
+        if INT64_MIN <= lo and hi <= INT64_MAX:
+            return 64
+        return 128
+    return {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32, T.LongType: 64}.get(
+        type(wt.dtype), 128
+    )
+
+
+def _decimal_required(wt: WriteType) -> tuple[int, int]:
+    """(precision, scale) the writer may produce."""
+    if isinstance(wt.dtype, T.DecimalType):
+        return wt.dtype.precision, wt.dtype.scale
+    if _is_integral(wt.dtype):
+        return (10, 0) if _int_bits(wt) <= 32 else (19, 0)
+    return (38, 18)  # double/string: unconstrained without annotations
+
+
+# --------------------------------------------------------------------------
+# conversion builders (runtime Column expressions)
+# --------------------------------------------------------------------------
+
+_DATE_RX = r"^\d{4}-\d{2}-\d{2}$"
+# ISO local time with optional fractional seconds and optional zone offset
+_TIME_RX = r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?(Z|[+-]\d{2}:?\d{2})?$"
+_TS_RX = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?$"
+
+
+def _date_conv() -> Converter:
+    def conv(c: Column) -> Column:
+        return F.when(c.rlike(_DATE_RX), F.try_to_date(c, "yyyy-MM-dd"))
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & F.when(c.rlike(_DATE_RX), F.try_to_date(c, "yyyy-MM-dd")).isNull()
+
+    return Converter(conv, viol, "INVALID_DATE", T.DateType())
+
+
+def _time_conv(micros: bool) -> Converter:
+    """ISO time-of-day string → micros(or millis)-of-day (UTC-normalized when
+    an offset is present). Spark has no TIME type; the reference parses
+    OffsetTime with a fallback zone (io/AsAvroParserBase.java:66-77).
+    Pure Column arithmetic — no Python in the data path."""
+
+    def micros_of_day(c: Column) -> Column:
+        h = F.regexp_extract(c, _TIME_RX, 1).cast("long")
+        m = F.regexp_extract(c, _TIME_RX, 2).cast("long")
+        s = F.regexp_extract(c, _TIME_RX, 3).cast("long")
+        frac = F.rpad(F.regexp_extract(c, _TIME_RX, 4), 6, "0").substr(1, 6)
+        us = F.coalesce(F.nullif(frac, F.lit("")).cast("long"), F.lit(0))
+        off = F.regexp_extract(c, _TIME_RX, 5)
+        off_sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+        off_h = F.when(
+            off.rlike("^[+-]"), F.regexp_extract(off, r"^[+-](\d{2})", 1).cast("long")
+        ).otherwise(F.lit(0))
+        off_m = F.when(
+            off.rlike("^[+-]"), F.regexp_extract(off, r"^[+-]\d{2}:?(\d{2})", 1).cast("long")
+        ).otherwise(F.lit(0))
+        total = (
+            (h * 3600 + m * 60 + s) * 1_000_000
+            + us
+            - off_sign * (off_h * 3600 + off_m * 60) * 1_000_000
+        )
+        # normalize into [0, 24h)
+        day = F.lit(86_400_000_000)
+        return F.pmod(total, day)
+
+    def conv(c: Column) -> Column:
+        out = F.when(c.rlike(_TIME_RX), micros_of_day(c))
+        return out if micros else F.when(out.isNotNull(), (out / 1000).cast("long"))
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & ~c.rlike(_TIME_RX)
+
+    return Converter(conv, viol, "INVALID_TIME", T.LongType())
+
+
+def _timestamp_conv(ntz: bool) -> Converter:
+    """ISO datetime string ('T' or space separator, optional zone) →
+    timestamp; missing zone falls back to the session time zone, matching
+    the reference's fallback-TZ semantics (io/AsAvroParserBase.java:78-88)."""
+    target = T.TimestampNTZType() if ntz else T.TimestampType()
+
+    def conv(c: Column) -> Column:
+        return F.when(c.rlike(_TS_RX), c.try_cast(target))
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & F.when(c.rlike(_TS_RX), c.try_cast(target)).isNull()
+
+    return Converter(conv, viol, "INVALID_TIMESTAMP", target)
+
+
+def _binary_conv(encoding: str, size: int | None) -> Converter:
+    """base16/base64 decode with optional fixed-size assertion
+    (reference: io/AsAvroParserBase.java:471-496;
+    xml/datamodel/FixedType.java:106-137)."""
+    if encoding == "base16":
+        valid = r"^(?:[0-9a-fA-F]{2})*$"
+        dec: Callable[[Column], Column] = F.unhex
+        reason = "INVALID_BASE16"
+    else:
+        valid = r"^[A-Za-z0-9+/]*={0,2}$"
+        dec = F.unbase64
+        reason = "INVALID_BASE64"
+
+    def conv(c: Column) -> Column:
+        out = F.when(c.rlike(valid), dec(c))
+        if size is not None:
+            out = F.when(F.length(dec(c)) == size, out)
+        return out
+
+    def viol(c: Column) -> Column:
+        bad = ~c.rlike(valid)
+        if size is not None:
+            bad = bad | (F.length(dec(c)) != size)
+        return c.isNotNull() & bad
+
+    return Converter(conv, viol, reason if size is None else "WRONG_BINARY_SIZE", T.BinaryType())
+
+
+def _decimal_exact_conv(p: int, s: int, from_string: bool) -> Converter:
+    """decimal(p,s) with RoundingMode.UNNECESSARY semantics: a value with
+    more than s fraction digits or more than p-s integer digits is a
+    violation, never silently rounded (io/AsAvroParserBase.java:457-462)."""
+    target = T.DecimalType(p, s)
+    # exact textual decimal with at most s fraction digits / p-s int digits
+    rx = rf"^[+-]?\d{{1,{p - s}}}(\.\d{{0,{s}}})?$" if s > 0 else rf"^[+-]?\d{{1,{p}}}$"
+
+    def fits(c: Column) -> Column:
+        txt = c.cast("string") if not from_string else c
+        return txt.rlike(rx)
+
+    def conv(c: Column) -> Column:
+        return F.when(fits(c), c.try_cast(target))
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & ~fits(c)
+
+    return Converter(conv, viol, "DECIMAL_OUT_OF_RANGE", target)
+
+
+def _int_range_conv(target: T.DataType, lo: int, hi: int) -> Converter:
+    def conv(c: Column) -> Column:
+        return F.when(c.between(lo, hi), c.try_cast(target))
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & ~c.between(lo, hi)
+
+    return Converter(conv, viol, "INT_OUT_OF_RANGE", target)
+
+
+def _enum_conv(read: EnumType, check_runtime: bool) -> Converter:
+    syms = list(read.symbols)
+
+    if not check_runtime:
+        return Converter(_identity, None, "", T.StringType())
+
+    if read.default is not None:
+        # repair mode: invalid symbol → default (io/AsAvroParserBase.java:443)
+        def conv(c: Column) -> Column:
+            return F.when(c.isin(syms), c).otherwise(
+                F.when(c.isNotNull(), F.lit(read.default))
+            )
+
+        return Converter(conv, None, "", T.StringType())
+
+    def conv(c: Column) -> Column:
+        return F.when(c.isin(syms), c)
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & ~c.isin(syms)
+
+    return Converter(conv, viol, "INVALID_ENUM_SYMBOL", T.StringType())
+
+
+def _cast_conv(target: T.DataType) -> Converter:
+    # try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on bad
+    # input; the engine's contract is null/violation rows, never exceptions
+    def conv(c: Column) -> Column:
+        return c.try_cast(target)
+
+    return Converter(conv, None, "", target)
+
+
+# --------------------------------------------------------------------------
+# the rule table
+# --------------------------------------------------------------------------
+
+
+class SchemaResolver:
+    """Ordered-rule, first-match schema resolver.
+
+    ``strict_nullability``: writer-nullable vs reader-non-nullable is a
+    plan-time failure as in the reference (json/JsonAsAvroParser.java:187-197).
+    Engines over parquet (where everything is physically nullable) set this
+    to False and enforce non-nullness as a runtime NotNull constraint.
+    """
+
+    def __init__(self, strict_nullability: bool = True, trust_reader: bool = False) -> None:
+        self.strict_nullability = strict_nullability
+        # trust_reader mirrors the reference's no-write-schema mode
+        # (io/AsAvroParserBase.java:400-425): with no declared writer range,
+        # narrowing resolves with a *runtime* guard instead of failing the plan.
+        self.trust_reader = trust_reader
+
+    # -- entry points -------------------------------------------------------
+
+    def resolve_record(
+        self, write: WriteType | T.StructType, read: RecordType
+    ) -> list[ColumnPlan]:
+        if isinstance(write, T.StructType):
+            write = from_spark_schema(write)
+        if not isinstance(write.dtype, T.StructType):
+            raise ResolvingFailure(
+                f"cannot resolve non-struct writer {write.dtype.simpleString()} "
+                f"against record {read.name}"
+            )
+        plans: list[ColumnPlan] = []
+        for rf in read.fields:
+            source = next((n for n in rf.match_names() if n in write.fields), None)
+            if source is None:
+                # reader field absent from writer → default fill or failure
+                # (json/JsonAsAvroParser.java:199-224)
+                if rf.has_default:
+                    plans.append(
+                        ColumnPlan(
+                            name=rf.name,
+                            source=None,
+                            read_type=rf.type,
+                            nullable=rf.nullable,
+                            converter=Converter(
+                                _identity, None, "", to_spark_type(rf.type)
+                            ),
+                            default=rf.default,
+                        )
+                    )
+                    continue
+                if rf.nullable:
+                    plans.append(
+                        ColumnPlan(
+                            name=rf.name,
+                            source=None,
+                            read_type=rf.type,
+                            nullable=True,
+                            converter=Converter(
+                                _identity, None, "", to_spark_type(rf.type)
+                            ),
+                            default=None,
+                        )
+                    )
+                    continue
+                raise ResolvingFailure(
+                    f"required read field {read.name}.{rf.name} has no writer "
+                    f"field and no default"
+                )
+            wt = write.fields[source]
+            if (
+                self.strict_nullability
+                and wt.nullable
+                and not rf.nullable
+                and not rf.has_default
+            ):
+                # R29: writer nullable, reader not, no default to repair with
+                # (json/JsonAsAvroParser.java:187-197)
+                raise ResolvingFailure(
+                    f"writer field {source} is nullable but read field "
+                    f"{read.name}.{rf.name} is not (and has no default)"
+                )
+            conv = self.resolve(wt, rf.type)
+            plans.append(
+                ColumnPlan(
+                    name=rf.name,
+                    source=source,
+                    read_type=rf.type,
+                    nullable=rf.nullable,
+                    converter=conv,
+                    default=rf.default,
+                )
+            )
+        return plans
+
+    def resolve(self, write: WriteType, read: ReadType) -> Converter:
+        """First-match scan of the ordered rule list
+        (io/AsAvroParserBase.java:379-392)."""
+        for match, build in self._rules():
+            if match(write, read):
+                return build(write, read)
+        raise ResolvingFailure(
+            f"cannot resolve writer {write.dtype.simpleString()}"
+            + (f"(format={write.format})" if write.format else "")
+            + f" against read type {read.describe()}"
+        )
+
+    # -- rules ---------------------------------------------------------------
+
+    def _rules(self):
+        return [
+            # R20: maps unsupported
+            (
+                lambda w, r: isinstance(w.dtype, T.MapType),
+                self._fail("map writer types are unsupported (doc/index.md:71)"),
+            ),
+            # R1/R21/R33: numeric/string → decimal(p,s) with precision check
+            (
+                lambda w, r: isinstance(r, DecimalType)
+                and (_is_numeric(w.dtype) or isinstance(w.dtype, T.StringType)),
+                self._build_decimal,
+            ),
+            # R2/R23/R34: date
+            (
+                lambda w, r: isinstance(r, LogicalType) and r.kind == "date",
+                self._build_date,
+            ),
+            # R3-R4: time-of-day
+            (
+                lambda w, r: isinstance(r, LogicalType) and r.kind.startswith("time-"),
+                self._build_time,
+            ),
+            # R5-R8: timestamps
+            (
+                lambda w, r: isinstance(r, LogicalType) and "timestamp" in r.kind,
+                self._build_timestamp,
+            ),
+            # R15/R25/R32: enum
+            (
+                lambda w, r: isinstance(r, EnumType) and isinstance(w.dtype, T.StringType),
+                self._build_enum,
+            ),
+            # R16/R24/R35: binary from encoded string
+            (
+                lambda w, r: isinstance(r, (FixedType,))
+                or (isinstance(r, PrimitiveType) and r.kind == "bytes"),
+                self._build_binary,
+            ),
+            # R22/R5: integers with bit-size election
+            (
+                lambda w, r: isinstance(r, PrimitiveType)
+                and r.kind in ("int", "long")
+                and (_is_integral(w.dtype) or isinstance(w.dtype, T.DecimalType)),
+                self._build_int,
+            ),
+            # R9-R14 widening/lossy numeric + boolean
+            (
+                lambda w, r: isinstance(r, PrimitiveType)
+                and r.kind in ("float", "double")
+                and _is_numeric(w.dtype),
+                lambda w, r: _cast_conv(
+                    T.FloatType() if r.kind == "float" else T.DoubleType()
+                ),
+            ),
+            (
+                lambda w, r: isinstance(r, PrimitiveType)
+                and r.kind == "boolean"
+                and isinstance(w.dtype, (T.BooleanType, T.StringType)),
+                self._build_boolean,
+            ),
+            # identity date/timestamp writers
+            (
+                lambda w, r: isinstance(r, LogicalType)
+                and r.kind == "date"
+                and isinstance(w.dtype, T.DateType),
+                lambda w, r: _cast_conv(T.DateType()),
+            ),
+            # R27/R18: arrays (recurse); nested arrays rejected
+            (
+                lambda w, r: isinstance(r, ArrayType) and isinstance(w.dtype, T.ArrayType),
+                self._build_array,
+            ),
+            # R36: single value readable as array
+            (
+                lambda w, r: isinstance(r, ArrayType)
+                and not isinstance(w.dtype, (T.ArrayType, T.StructType, T.MapType)),
+                self._build_wrap_array,
+            ),
+            # R37: wrapped-array unwrap (writer struct with a single array field)
+            (
+                lambda w, r: isinstance(r, ArrayType)
+                and isinstance(w.dtype, T.StructType)
+                and len(w.fields) == 1
+                and isinstance(next(iter(w.fields.values())).dtype, T.ArrayType),
+                self._build_unwrap_array,
+            ),
+            # R19/R28/R30: nested records
+            (
+                lambda w, r: isinstance(r, RecordType) and isinstance(w.dtype, T.StructType),
+                self._build_record,
+            ),
+            # strings LAST (json/JsonAsAvroParser.java:167): anything → string
+            (
+                lambda w, r: isinstance(r, PrimitiveType)
+                and r.kind == "string"
+                and not isinstance(w.dtype, (T.StructType, T.ArrayType, T.MapType)),
+                lambda w, r: _cast_conv(T.StringType()),
+            ),
+        ]
+
+    @staticmethod
+    def _fail(msg: str):
+        def build(w: WriteType, r: ReadType) -> Converter:
+            raise ResolvingFailure(msg)
+
+        return build
+
+    def _build_decimal(self, w: WriteType, r: DecimalType) -> Converter:
+        wp, ws = _decimal_required(w)
+        if isinstance(w.dtype, T.DecimalType) or _is_integral(w.dtype):
+            # plan-time compatibility (json/JsonAsAvroParser.java:77-82):
+            # read must cover writer's scale and integer digits
+            if r.scale < ws or (r.precision - r.scale) < (wp - ws):
+                raise ResolvingFailure(
+                    f"decimal({r.precision},{r.scale}) cannot hold writer "
+                    f"values needing precision {wp} scale {ws}"
+                )
+            return _cast_conv(T.DecimalType(r.precision, r.scale))
+        # string/double writers: runtime exactness check
+        return _decimal_exact_conv(
+            r.precision, r.scale, from_string=isinstance(w.dtype, T.StringType)
+        )
+
+    def _build_date(self, w: WriteType, r: LogicalType) -> Converter:
+        if isinstance(w.dtype, T.DateType):
+            return _cast_conv(T.DateType())
+        if isinstance(w.dtype, T.StringType):
+            if w.format is not None and w.format != "date":
+                raise ResolvingFailure(f"string format {w.format!r} is not a date")
+            return _date_conv()
+        if isinstance(w.dtype, (T.TimestampType, T.TimestampNTZType)):
+            return _cast_conv(T.DateType())
+        raise ResolvingFailure(f"{w.dtype.simpleString()} cannot resolve to date")
+
+    def _build_time(self, w: WriteType, r: LogicalType) -> Converter:
+        if not isinstance(w.dtype, (T.StringType, T.LongType, T.IntegerType)):
+            raise ResolvingFailure(f"{w.dtype.simpleString()} cannot resolve to {r.kind}")
+        if isinstance(w.dtype, T.StringType):
+            if w.format is not None and w.format != "time":
+                raise ResolvingFailure(f"string format {w.format!r} is not a time")
+            return _time_conv(micros=r.kind.endswith("micros"))
+        return _cast_conv(T.LongType())
+
+    def _build_timestamp(self, w: WriteType, r: LogicalType) -> Converter:
+        ntz = r.kind.startswith("local-")
+        if isinstance(w.dtype, (T.TimestampType, T.TimestampNTZType)):
+            return _cast_conv(T.TimestampNTZType() if ntz else T.TimestampType())
+        if isinstance(w.dtype, T.StringType):
+            if w.format is not None and w.format not in ("date-time", "local-date-time"):
+                raise ResolvingFailure(f"string format {w.format!r} is not a date-time")
+            return _timestamp_conv(ntz)
+        raise ResolvingFailure(f"{w.dtype.simpleString()} cannot resolve to {r.kind}")
+
+    def _build_enum(self, w: WriteType, r: EnumType) -> Converter:
+        if w.symbols is not None:
+            # plan-time subset check (json/JsonAsAvroParser.java:84-92)
+            if set(w.symbols) <= set(r.symbols):
+                return _enum_conv(r, check_runtime=False)
+            if r.default is None:
+                raise ResolvingFailure(
+                    f"writer symbols {sorted(set(w.symbols) - set(r.symbols))} "
+                    f"not in read enum {r.name} and no default symbol"
+                )
+        return _enum_conv(r, check_runtime=True)
+
+    def _build_binary(self, w: WriteType, r: ReadType) -> Converter:
+        size = r.size if isinstance(r, FixedType) else None
+        if isinstance(w.dtype, T.BinaryType):
+            if size is None:
+                return _cast_conv(T.BinaryType())
+            c = _cast_conv(T.BinaryType())
+
+            def conv(col: Column) -> Column:
+                return F.when(F.length(col) == size, col)
+
+            def viol(col: Column) -> Column:
+                return col.isNotNull() & (F.length(col) != size)
+
+            return Converter(conv, viol, "WRONG_BINARY_SIZE", T.BinaryType())
+        if isinstance(w.dtype, T.StringType):
+            enc = w.content_encoding
+            if enc not in ("base16", "base64"):
+                raise ResolvingFailure(
+                    "string → bytes requires contentEncoding base16/base64 "
+                    "(io/AsAvroParserBase.java:333-334)"
+                )
+            return _binary_conv(enc, size)
+        raise ResolvingFailure(f"{w.dtype.simpleString()} cannot resolve to bytes/fixed")
+
+    def _build_int(self, w: WriteType, r: PrimitiveType) -> Converter:
+        bits = _int_bits(w)
+        declared_range = w.min_value is not None and w.max_value is not None
+        if r.kind == "int":
+            if bits > 32 and self.trust_reader and not declared_range:
+                return _int_range_conv(T.IntegerType(), INT32_MIN, INT32_MAX)
+            if bits > 32:
+                raise ResolvingFailure(
+                    f"writer integer needs {bits} bits, read type int holds 32 "
+                    "(util/DecimalRange.java:177-185)"
+                )
+            if isinstance(w.dtype, (T.LongType, T.DecimalType)):
+                return _int_range_conv(T.IntegerType(), INT32_MIN, INT32_MAX)
+            return _cast_conv(T.IntegerType())
+        if bits > 64:
+            raise ResolvingFailure(f"writer integer needs {bits} bits, read type long holds 64")
+        if isinstance(w.dtype, T.DecimalType) and w.dtype.scale == 0:
+            return _int_range_conv(T.LongType(), INT64_MIN, INT64_MAX)
+        return _cast_conv(T.LongType())
+
+    def _build_boolean(self, w: WriteType, r: PrimitiveType) -> Converter:
+        if isinstance(w.dtype, T.BooleanType):
+            return _cast_conv(T.BooleanType())
+
+        def conv(c: Column) -> Column:
+            low = F.lower(c)
+            return F.when(low.isin("true", "false"), low == "true")
+
+        def viol(c: Column) -> Column:
+            return c.isNotNull() & ~F.lower(c).isin("true", "false")
+
+        return Converter(conv, viol, "INVALID_BOOLEAN", T.BooleanType())
+
+    def _build_array(self, w: WriteType, r: ArrayType) -> Converter:
+        if isinstance(r.items, ArrayType) or isinstance(w.items.dtype, T.ArrayType):
+            raise ResolvingFailure(
+                "nested arrays are not supported (xml/XmlAsAvroParser.java:255-261)"
+            )
+        inner = self.resolve(w.items, r.items)
+
+        def conv(c: Column) -> Column:
+            return F.transform(c, inner.convert)
+
+        viol = None
+        if inner.violation is not None:
+            def viol(c: Column) -> Column:  # noqa: F811
+                return c.isNotNull() & F.exists(c, inner.violation)
+
+        return Converter(
+            conv, viol, inner.reason or "INVALID_ARRAY_ELEMENT",
+            T.ArrayType(inner.spark_type, r.items_nullable),
+        )
+
+    def _build_wrap_array(self, w: WriteType, r: ArrayType) -> Converter:
+        inner = self.resolve(w, r.items)
+
+        def conv(c: Column) -> Column:
+            return F.when(c.isNotNull(), F.array(inner.convert(c)))
+
+        return Converter(
+            conv, inner.violation, inner.reason, T.ArrayType(inner.spark_type, False)
+        )
+
+    def _build_unwrap_array(self, w: WriteType, r: ArrayType) -> Converter:
+        (inner_name, inner_wt), = w.fields.items()
+        inner = self.resolve(inner_wt, r)
+
+        def conv(c: Column) -> Column:
+            return inner.convert(c.getField(inner_name))
+
+        viol = None
+        if inner.violation is not None:
+            def viol(c: Column) -> Column:  # noqa: F811
+                return c.isNotNull() & inner.violation(c.getField(inner_name))
+
+        return Converter(conv, viol, inner.reason, inner.spark_type)
+
+    def _build_record(self, w: WriteType, r: RecordType) -> Converter:
+        plans: list[tuple[Field, str | None, Converter]] = []
+        for rf in r.fields:
+            source = next((n for n in rf.match_names() if n in w.fields), None)
+            if source is None:
+                if not rf.has_default and not rf.nullable:
+                    raise ResolvingFailure(
+                        f"required read field {r.name}.{rf.name} has no writer field "
+                        "and no default"
+                    )
+                plans.append((rf, None, Converter(_identity, None, "", to_spark_type(rf.type))))
+                continue
+            plans.append((rf, source, self.resolve(w.fields[source], rf.type)))
+
+        def conv(c: Column) -> Column:
+            members = []
+            for rf, source, cv in plans:
+                if source is None:
+                    val = F.lit(None if not rf.has_default else rf.default).cast(
+                        cv.spark_type
+                    )
+                else:
+                    val = cv.convert(c.getField(source))
+                    if rf.has_default and rf.default is not None:
+                        val = F.coalesce(val, F.lit(rf.default).cast(cv.spark_type))
+                members.append(val.alias(rf.name))
+            return F.when(c.isNotNull(), F.struct(*members))
+
+        viols = [
+            (source, cv) for rf, source, cv in plans if source and cv.violation is not None
+        ]
+        viol = None
+        if viols:
+            def viol(c: Column) -> Column:  # noqa: F811
+                preds = [cv.violation(c.getField(src)) for src, cv in viols]
+                out = preds[0]
+                for p in preds[1:]:
+                    out = out | p
+                return c.isNotNull() & out
+
+        return Converter(
+            conv,
+            viol,
+            "INVALID_RECORD_FIELD",
+            T.StructType(
+                [
+                    T.StructField(rf.name, cv.spark_type, rf.nullable or source is None)
+                    for rf, source, cv in plans
+                ]
+            ),
+        )

@@ -1,0 +1,160 @@
+"""Deterministic synthetic transcript table (FIXTURES.md §1-2).
+
+Generated entirely with Spark expressions over ``spark.range`` — no Python
+loops, no driver-side data, no RNG state: every value is a pure function of
+(seed, conv index, turn index) via xxhash64, so the fixture is reproducible
+at any scale and any parallelism (unlike F.rand, whose stream depends on
+partitioning). That is what lets the same generator produce the 10^4-turn
+CI fixture and a 10^8-turn bench table with identical per-row values.
+
+Skew fixture: the first ``hot_convs`` conversations get ``hot_factor``×
+the turns — exercises the engine's skew handling.
+
+Corruption knobs (each injects known violation rows, FIXTURES.md §1):
+``null_conv_id  null_turn_idx  dup_key  gap_turn_idx  role_invalid
+dangling_tool  ts_regression``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLES = ("system", "user", "assistant", "tool")
+TOOLS = (
+    ("search", "1.2.0"),
+    ("calculator", "0.9.1"),
+    ("code_exec", "2.0.0"),
+    ("browser", "1.0.3"),
+    ("retrieval", "3.1.4"),
+)
+_WORDS = (
+    "the quick brown fox jumps over lazy dog spark shuffle partition "
+    "schema resolve decimal enum default alias turn conversation agent "
+    "tool call result stream batch window join aggregate validate"
+).split()
+_UNICODE_SAMPLES = ("😀👾🚀", "héllo wörld", "данные", "数据校验", "פַּרְשָׁנוּת")
+
+
+def _h(*cols, seed: int = 42):
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def tool_catalog(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(TOOLS), "tool_name string, tool_version string")
+
+
+def transcripts(
+    spark: SparkSession,
+    n_convs: int = 1_000,
+    turns_per_conv: int = 10,
+    hot_convs: int = 2,
+    hot_factor: int = 100,
+    seed: int = 42,
+    corruptions: frozenset[str] | set[str] = frozenset(),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Build the transcript table (conv_id, turn_idx, role, text, tool, ts)."""
+    conv = spark.range(n_convs, numPartitions=n_partitions)
+    n_turns = (
+        F.when(F.col("id") < hot_convs, F.lit(turns_per_conv * hot_factor))
+        .otherwise(
+            # vary 50%..150% of the base, deterministically per conversation
+            (F.lit(turns_per_conv) * (50 + F.pmod(_h(F.col("id"), seed=seed), 100)) / 100)
+            .cast("int")
+            + 1
+        )
+    )
+    df = (
+        conv.withColumn("conv_id", F.format_string("conv-%08d", F.col("id")))
+        .withColumn("n_turns", n_turns)
+        .select(
+            "id",
+            "conv_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+        )
+    )
+    h = _h(F.col("id"), F.col("turn_idx"), seed=seed)
+    role = (
+        F.when(F.col("turn_idx") == 0, F.lit("system"))
+        .when(F.pmod(h, 11) == 0, F.lit("tool"))
+        .when(F.pmod(F.col("turn_idx"), 2) == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    # deterministic lorem: 5-12 words picked by hash, occasional unicode tail
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    uni = F.array(*[F.lit(u) for u in _UNICODE_SAMPLES])
+    n_words = (F.pmod(h, 8) + 5).cast("int")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                words, (F.pmod(_h(F.col("id"), F.col("turn_idx"), i, seed=seed), len(_WORDS)) + 1).cast("int")
+            ),
+        ),
+    )
+    text = F.when(
+        F.pmod(h, 13) == 0,
+        F.concat(text, F.lit(" "), F.element_at(uni, (F.pmod(h, len(_UNICODE_SAMPLES)) + 1).cast("int"))),
+    ).otherwise(text)
+    tool_names = F.array(*[F.lit(t[0]) for t in TOOLS])
+    tool = F.when(
+        role == "tool",
+        F.element_at(tool_names, (F.pmod(h, len(TOOLS)) + 1).cast("int")),
+    )
+    # monotone non-decreasing per conversation: conv epoch + cumulative-ish gap
+    ts = F.timestamp_seconds(
+        F.lit(1_700_000_000)
+        + F.col("id") * 3600
+        + F.col("turn_idx") * 7
+        + F.pmod(h, 5)  # jitter < gap step, preserves monotonicity
+    )
+    df = df.select(
+        "id",
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+    c = set(corruptions)
+    if "role_invalid" in c:
+        df = df.withColumn(
+            "role", F.when(F.pmod(h, 97) == 3, F.lit("operator")).otherwise(F.col("role"))
+        )
+    if "dangling_tool" in c:
+        df = df.withColumn(
+            "tool",
+            F.when((F.col("role") == "tool") & (F.pmod(h, 29) == 5), F.lit("ghost_tool")).otherwise(
+                F.col("tool")
+            ),
+        )
+    if "null_conv_id" in c:
+        df = df.withColumn(
+            "conv_id", F.when(F.pmod(h, 101) == 7, F.lit(None)).otherwise(F.col("conv_id"))
+        )
+    if "null_turn_idx" in c:
+        df = df.withColumn(
+            "turn_idx", F.when(F.pmod(h, 103) == 9, F.lit(None)).otherwise(F.col("turn_idx"))
+        )
+    if "gap_turn_idx" in c:
+        df = df.withColumn(
+            "turn_idx",
+            F.when(F.pmod(h, 107) == 11, F.col("turn_idx") + 1000).otherwise(F.col("turn_idx")),
+        )
+    if "ts_regression" in c:
+        df = df.withColumn(
+            "ts",
+            F.when(
+                (F.pmod(h, 109) == 13) & (F.col("turn_idx") > 0),
+                F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+            ).otherwise(F.col("ts")),
+        )
+    if "dup_key" in c:
+        dups = df.where(F.pmod(h, 113) == 17)
+        df = df.unionByName(dups)
+
+    return df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text", "tool", "ts")
