@@ -29,6 +29,7 @@ class SequenceConstraint:
     name: str = "sequence(conv_id,turn_idx)"
     check_contiguous: bool = True
     check_ts_monotone: bool = True
+    start: int = 0  # first expected index (0 for transcripts, 1 for SQL-style)
 
     def violations(self, df: DataFrame) -> DataFrame:
         """(conv, idx, constraint, column, reason, observed) rows."""
@@ -38,7 +39,7 @@ class SequenceConstraint:
         checks = []
         if self.check_contiguous:
             # turn_idx must equal its 0-based rank within the conversation
-            out = out.withColumn("_rn", F.row_number().over(w) - 1)
+            out = out.withColumn("_rn", F.row_number().over(w) - 1 + self.start)
             checks.append(
                 (
                     F.col(self.idx_col) != F.col("_rn"),

@@ -1,0 +1,193 @@
+"""Deduplication operators for document tables at training-data scale.
+
+Scale design (100 TB of documents, 1000 executors):
+- exact: hash-groupBy on md5(text) — map-side partial agg, one shuffle of
+  (hash, count) pairs, never the text itself.
+- minhash LSH: explode-to-shingles → per-(doc, seed) min-hash aggregation
+  (partial agg shrinks the shuffle to docs × seeds rows) → band keys →
+  self-join *within buckets only*. The candidate join is banded so the
+  shuffle is bucket-local; a global doc×doc cross join never exists.
+- ngram Jaccard verification runs only on LSH candidates (or on small
+  tables directly).
+- simhash / embedding near-dup: bucket by a short signature, verify with
+  cosine within buckets.
+
+All hash functions are md5-derived so the DuckDB oracle can reproduce
+values bit-for-bit (xxhash64 would be faster; md5 keeps the correctness
+gate honest — swap via ``hash_fn`` for production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from avro_conversions_spark.functions.text import fingerprint, shingles
+from avro_conversions_spark.functions.vectors import cosine, simhash_bits
+
+
+def md5_hash64(c: Column, seed: int) -> Column:
+    """Deterministic 32-bit hash from md5 (oracle-reproducible):
+    first 8 hex chars of md5(seed || value) as a long."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed)), c)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, dup_count, min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def fingerprint_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact duplicates under formatting noise (normalized-text md5)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash): min over shingles of H(seed, shingle)."""
+    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    seeds = sh.sparkSession.range(num_hashes).withColumnRenamed("id", "seed")
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("seed").cast("string"), F.col("shingle"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on all hashes of at
+    least one band. Join is per-(band, band_key) bucket — shuffle stays
+    bucket-local, no global cross join."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("_", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    Without ``candidates`` this self-joins on shingle (fine when shingles
+    are selective / table small); at scale pass minhash_lsh_candidates to
+    bound the pair space."""
+    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", bits: int = 16
+) -> DataFrame:
+    """Bucket vectors by sign-bit SimHash — near-duplicate candidates share
+    a bucket."""
+    return df.select(F.col(id_col), simhash_bits(F.col(vec_col), bits).alias("bucket"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 12,
+) -> DataFrame:
+    """Cosine near-duplicates verified within SimHash buckets:
+    (id_a, id_b, cos). Bucketing bounds the pair join; at 100 TB increase
+    ``bits`` so buckets stay small."""
+    b = simhash_buckets(df, vec_col, id_col, bits)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    a_side = b.join(vecs, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va")
+    )
+    b_side = b.join(vecs, id_col).select(
+        F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, codegen'd) —
+no Python in the data path. Each has an ANSI-SQL equivalent used by the
+DuckDB oracle in __spark_entry__.py, so every function here is
+cross-checked for value parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword sets for the language-ID heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de": ("der", "die", "und", "das", "von", "mit", "den", "ein", "für", "ist"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length — a cheap quality signal."""
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace
+    (portable definition: identical semantics in Spark and the SQL oracle,
+    unlike Java's \\p{Punct})."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.length(stripped) / F.length(text)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of *distinct* stopwords of ``lang`` present (set semantics,
+    so the SQL oracle's list_intersect matches exactly)."""
+    return F.size(
+        F.array_intersect(tokens(text), F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+    )
+
+
+def langid(text: Column) -> Column:
+    """Tiny n-gram-free language-ID heuristic: argmax of stopword hits with
+    a deterministic tie order (en > es > de > und)."""
+    en, es, de = (stopword_hits(text, l) for l in ("en", "es", "de"))
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: long enough, words not too long/short,
+    not punctuation-heavy. Deterministic, oracle-expressible."""
+    n_tok = token_count(text)
+    length_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    word_len = avg_token_len(text)
+    word_ok = F.when((word_len >= 3) & (word_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round((length_ok + word_ok + punct_ok) / 3, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed). Collisions = near-exact
+    duplicates under formatting noise."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit for MinHash / Jaccard dedup)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+    )

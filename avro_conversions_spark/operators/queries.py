@@ -1,0 +1,527 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Spark implementation (DataFrame API, library modules)
+with an ANSI-SQL oracle executed by DuckDB on the same parquet — the
+correctness gate. Column names/rounding are aligned on both sides.
+
+Conventions:
+- aggregates/doubles are rounded (2-6 dp) on BOTH sides so value hashing
+  is stable across engines;
+- the verdict column is named ``check_name`` (``constraint`` is reserved
+  in SQL);
+- queries with no SQL-expressible oracle (HLL sketches, LSH ANN,
+  synthesized transcripts) are in QUERIES but not ORACLES → the driver
+  records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_conversions_spark import dedup, similarity, stats
+from avro_conversions_spark.constraints import (
+    ReferentialConstraint,
+    SequenceConstraint,
+    UniqueConstraint,
+    enum_in,
+    not_null,
+    range_check,
+)
+from avro_conversions_spark.engine import ValidationEngine
+from avro_conversions_spark.functions import text as TXT
+from avro_conversions_spark.transcripts import ROLES, tool_catalog, transcripts
+
+EVENT_TYPES_OK = ("view", "click", "signup", "purchase")  # 'error' = violation
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- validation
+
+
+def q_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full constraint-engine run over the events table."""
+    ev = _t(spark, sf_dir, "events")
+    eng = ValidationEngine(
+        row_constraints=[
+            not_null("event_id"),
+            not_null("user_id"),
+            not_null("ts"),
+            enum_in("event_type", EVENT_TYPES_OK),
+            range_check("value", lo=0.0),
+        ],
+        unique_constraints=[UniqueConstraint(("event_id",))],
+        key_cols=("event_id",),
+    )
+    res = eng.run(ev, run_id="gate")
+    return res.verdicts.select(
+        F.col("constraint").alias("check_name"),
+        "status",
+        "violation_count",
+        "rows_checked",
+    )
+
+
+def q_unique_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    u = UniqueConstraint(("l_orderkey", "l_linenumber"))
+    return u.duplicate_keys(li)
+
+
+def q_ref_integrity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    r = ReferentialConstraint("o_custkey", customer, "c_custkey")
+    return r.violations(orders).select("o_orderkey", "o_custkey")
+
+
+def q_ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    catalog = ev.sparkSession.createDataFrame(
+        [(t,) for t in EVENT_TYPES_OK], "event_type_ok string"
+    )
+    r = ReferentialConstraint("event_type", catalog, "event_type_ok")
+    return r.violations(ev).select("event_id", "event_type")
+
+
+def q_sequence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = SequenceConstraint(
+        conv_col="l_orderkey",
+        idx_col="l_linenumber",
+        ts_col=None,
+        name="seq",
+        start=1,
+    )
+    return s.violations(li).select("l_orderkey", "l_linenumber", "observed")
+
+
+# --------------------------------------------------------------------- stats
+
+
+PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.column_profile(_t(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.grouped_stats(_t(spark, sf_dir, "events"), ["event_type"], "value")
+
+
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.exact_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+def q_ndv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_orderkey").alias("ndv_orderkey"),
+        F.count_distinct("l_partkey").alias("ndv_partkey"),
+        F.count_distinct("l_suppkey").alias("ndv_suppkey"),
+        F.count_distinct("l_returnflag").alias("ndv_returnflag"),
+    )
+
+
+def q_hll_ndv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch cardinality (mergeable; the 100 TB path). No SQL oracle —
+    estimates are engine-specific; rows-only check."""
+    sk = stats.hll_sketches(_t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey"])
+    return stats.hll_estimate(sk)
+
+
+def q_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+# --------------------------------------------------------------------- dedup
+
+
+def q_exact_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2
+    )
+
+
+def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_n=3
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates within SimHash buckets — rows-only."""
+    return dedup.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, bits=8
+    )
+
+
+# ---------------------------------------------------------------------- text
+
+
+def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.char_count(t).alias("n_chars"),
+        F.round(TXT.avg_token_len(t), 4).alias("avg_token_len"),
+    )
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.langid(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — rows-only (hyperplane seeds not SQL-portable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5)
+
+
+# -------------------------------------------------------------- transcripts
+
+
+def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship on the synthesized transcript table (sf_dir sets
+    scale only; data is deterministic). Rows-only: table not in the oracle
+    catalog."""
+    n_convs = 2000 if "0.1" in sf_dir else 500
+    df = transcripts(
+        spark,
+        n_convs=n_convs,
+        turns_per_conv=10,
+        corruptions={"role_invalid", "dangling_tool", "dup_key", "ts_regression"},
+    )
+    eng = ValidationEngine(
+        row_constraints=[
+            not_null("conv_id"),
+            not_null("turn_idx"),
+            enum_in("role", ROLES),
+            range_check("turn_idx", 0, 2**31 - 1),
+        ],
+        unique_constraints=[UniqueConstraint(("conv_id", "turn_idx"))],
+        referential_constraints=[
+            ReferentialConstraint("tool", tool_catalog(spark), "tool_name")
+        ],
+        sequence_constraints=[SequenceConstraint()],
+    )
+    res = eng.run(df, run_id="transcripts")
+    return res.verdicts.select(
+        F.col("constraint").alias("check_name"), "status", "violation_count", "rows_checked"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "verdicts_events": q_verdicts_events,
+    "unique_violations_lineitem": q_unique_violations_lineitem,
+    "ref_integrity_orders": q_ref_integrity_orders,
+    "ref_violations_events": q_ref_violations_events,
+    "sequence_lineitem": q_sequence_lineitem,
+    "profile_lineitem": q_profile_lineitem,
+    "pricing_summary": q_pricing_summary,
+    "rollup_events": q_rollup_events,
+    "quantiles_lineitem": q_quantiles_lineitem,
+    "ndv_lineitem": q_ndv_lineitem,
+    "hll_ndv_lineitem": q_hll_ndv_lineitem,
+    "windowed_counts_events": q_windowed_counts_events,
+    "dedup_events": q_dedup_events,
+    "exact_dups_documents": q_exact_dups_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "minhash_lsh_documents": q_minhash_lsh_documents,
+    "jaccard_pairs_documents": q_jaccard_pairs_documents,
+    "simhash_near_dups": q_simhash_near_dups,
+    "token_stats_documents": q_token_stats_documents,
+    "langid_documents": q_langid_documents,
+    "quality_documents": q_quality_documents,
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "validate_transcripts": q_validate_transcripts,
+}
+
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in range(1, len(t)-1)])) AS shingle
+  FROM toks
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "verdicts_events": f"""
+WITH n AS (SELECT count(*) AS rc FROM events),
+checks AS (
+  SELECT 'not_null(event_id)' AS check_name,
+         (SELECT count(*) FROM events WHERE event_id IS NULL) AS violation_count
+  UNION ALL
+  SELECT 'not_null(user_id)',
+         (SELECT count(*) FROM events WHERE user_id IS NULL)
+  UNION ALL
+  SELECT 'not_null(ts)',
+         (SELECT count(*) FROM events WHERE ts IS NULL)
+  UNION ALL
+  SELECT 'enum(event_type)',
+         (SELECT count(*) FROM events
+          WHERE event_type IS NOT NULL
+            AND event_type NOT IN {tuple(EVENT_TYPES_OK)!r})
+  UNION ALL
+  SELECT 'range(value)',
+         (SELECT count(*) FROM events WHERE value IS NOT NULL AND value < 0)
+  UNION ALL
+  SELECT 'unique(event_id)',
+         (SELECT count(*) FROM (
+            SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1))
+)
+SELECT check_name,
+       CASE WHEN violation_count > 0 THEN 'fail' ELSE 'pass' END AS status,
+       violation_count, n.rc AS rows_checked
+FROM checks, n
+""",
+    "unique_violations_lineitem": """
+SELECT l_orderkey, l_linenumber, count(*) AS multiplicity
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+""",
+    "ref_integrity_orders": """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+""",
+    "ref_violations_events": f"""
+SELECT event_id, event_type FROM events
+WHERE event_type IS NOT NULL AND event_type NOT IN {tuple(EVENT_TYPES_OK)!r}
+""",
+    "sequence_lineitem": """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       l_linenumber::varchar || '!=' || rn::varchar AS observed
+FROM r WHERE l_linenumber != rn
+""",
+    "profile_lineitem": "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::double / count(*), 6) AS null_rate,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::varchar AS min_str, max({c})::varchar AS max_str,
+       round(avg(length({c}::varchar)), 4) AS avg_len
+FROM lineitem"""
+        for c in PROFILE_COLS
+    ),
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rollup_events": """
+SELECT event_type, count(*) AS n_rows,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY ROLLUP (event_type)
+""",
+    "quantiles_lineitem": """
+SELECT 0.25::double AS prob, round(quantile_cont(l_quantity, 0.25), 6)::double AS value FROM lineitem
+UNION ALL
+SELECT 0.5::double, round(quantile_cont(l_quantity, 0.5), 6)::double FROM lineitem
+UNION ALL
+SELECT 0.75::double, round(quantile_cont(l_quantity, 0.75), 6)::double FROM lineitem
+UNION ALL
+SELECT 0.95::double, round(quantile_cont(l_quantity, 0.95), 6)::double FROM lineitem
+""",
+    "ndv_lineitem": """
+SELECT count(DISTINCT l_orderkey) AS ndv_orderkey,
+       count(DISTINCT l_partkey) AS ndv_partkey,
+       count(DISTINCT l_suppkey) AS ndv_suppkey,
+       count(DISTINCT l_returnflag) AS ndv_returnflag
+FROM lineitem
+""",
+    "windowed_counts_events": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "dedup_events": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    "exact_dups_documents": """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+    "fingerprint_documents": r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "minhash_lsh_documents": _SHINGLE_CTE + r""",
+seeds AS (SELECT unnest(range(8)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min((('0x' || substr(md5(seed::varchar || shingle), 1, 8))::UBIGINT)::BIGINT)
+           AS minhash
+  FROM sh, seeds GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, (seed // 2)::int AS band,
+         string_agg(minhash::varchar, '_' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY doc_id, (seed // 2)::int
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+""",
+    "jaccard_pairs_documents": _SHINGLE_CTE + r""",
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, round(i::double / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i::double / (sa.sz + sb.sz - i), 4) >= 0.2
+""",
+    "token_stats_documents": r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
+             / len(toks), 4) AS avg_token_len
+FROM t
+""",
+    "langid_documents": rf"""
+WITH s AS (
+  SELECT lang,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        {list(TXT.STOPWORDS['en'])!r})) AS en,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        {list(TXT.STOPWORDS['es'])!r})) AS es,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        {list(TXT.STOPWORDS['de'])!r})) AS de
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+            WHEN es >= de AND es > 0 THEN 'es'
+            WHEN de > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       count(*) AS n_docs
+FROM s GROUP BY 1, 2
+""",
+    "quality_documents": r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+           / length(text) AS punct_ratio
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         least(len(toks) / 20.0, 1.0) AS length_ok,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
+           / len(toks) AS word_len,
+         1.0 - least(punct_ratio * 5, 1.0) AS punct_ok
+  FROM t
+)
+SELECT doc_id,
+       round((length_ok
+              + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
+              + punct_ok) / 3, 4) AS quality
+FROM m
+""",
+    "knn_bruteforce": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM q, embeddings c WHERE c.vec_id != q.qid
+), ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+""",
+}

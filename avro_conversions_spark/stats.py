@@ -1,0 +1,130 @@
+"""Column statistics + sketches (SURVEY.md §2.8 / build-plan step 3).
+
+One aggregation pass computes every per-column metric — null rate,
+min/max, avg length, cardinality — as a single groupBy/agg so the table
+is scanned once. Cardinality comes in two flavors:
+
+- exact ``count_distinct`` (used by the DuckDB-verified oracle queries);
+- mergeable HyperLogLog sketches ``hll_sketch_agg`` / ``hll_union_agg``
+  (Spark ≥3.5) — the 100 TB path: per-partition sketches merge without
+  re-scanning, and persist as the drift baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-form per-column profile: one row per column with
+    (column, n_rows, n_nulls, null_rate, n_distinct, min_str, max_str,
+    avg_len). String min/max compare lexically; all values are canonical
+    strings so the schema is uniform."""
+    columns = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(col).alias(f"{c}__ndv"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            F.round(F.avg(F.length(col.cast("string"))), 4).alias(f"{c}__avglen"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.round(F.col(f"{c}__nulls") / F.col("n_rows"), 6).alias("null_rate"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+                F.col(f"{c}__avglen").alias("avg_len"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def hll_sketches(df: DataFrame, columns: list[str], lg_k: int = 12) -> DataFrame:
+    """Mergeable HLL sketches, one row per column: (column, sketch).
+    Persist these as the baseline snapshot; merge later runs with
+    ``hll_union_agg`` instead of re-scanning history."""
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"{c}__sk") for c in columns
+    ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(f"{c}__sk").alias("sketch"))
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    return sketches.select(
+        "column", F.hll_sketch_estimate("sketch").alias("ndv_estimate")
+    )
+
+
+def grouped_stats(
+    df: DataFrame, group_cols: list[str], value_col: str, rollup: bool = True
+) -> DataFrame:
+    """Per-group + grand-total stats in ONE pass via rollup (partial agg
+    map-side; no second scan for the global row)."""
+    g = df.rollup(*group_cols) if rollup else df.groupBy(*group_cols)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+        F.round(F.min(value_col), 4).alias("min_value"),
+        F.round(F.max(value_col), 4).alias("max_value"),
+    )
+
+
+def exact_quantiles(
+    df: DataFrame, column: str, probs: list[float] | None = None
+) -> DataFrame:
+    """Exact interpolated percentiles (matches SQL quantile_cont).
+    For the 100 TB path use approx_quantiles below."""
+    probs = probs or [0.25, 0.5, 0.75]
+    qs = F.percentile(F.col(column), F.array(*[F.lit(p) for p in probs]))
+    row = df.agg(qs.alias("qs"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("prob"),
+                F.round(F.element_at(F.col("qs"), i + 1), 6).alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("q")).select("q.*")
+
+
+def approx_quantiles(
+    df: DataFrame, column: str, probs: list[float] | None = None, accuracy: int = 10000
+) -> DataFrame:
+    """GK-sketch quantiles (percentile_approx) — single-pass, mergeable,
+    the scale path for drift baselines."""
+    probs = probs or [0.25, 0.5, 0.75]
+    qs = F.percentile_approx(F.col(column), F.array(*[F.lit(p) for p in probs]), accuracy)
+    row = df.agg(qs.alias("qs"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("prob"),
+                F.round(F.element_at(F.col("qs"), i + 1).cast("double"), 6).alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("q")).select("q.*")

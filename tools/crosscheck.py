@@ -1,0 +1,84 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values (stringified, sorted).
+
+Usage: python tools/crosscheck.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from avro_conversions_spark.session import get_spark  # noqa: E402
+from avro_conversions_spark.operators.queries import ORACLES, QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.6f}".rstrip("0").rstrip(".")
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(QUERIES)
+    spark = get_spark(app_name="crosscheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    failures = 0
+    for name in names:
+        try:
+            sdf = QUERIES[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.sql(ORACLES[name])
+            dcols = res.columns
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            failures += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
+            failures += 1
+            continue
+        cs, cd = canon(srows, scols), canon(drows, dcols)
+        if cs != cd:
+            bad = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+            failures += 1
+            continue
+        print(f"OK    {name}: {len(srows)} rows")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
