@@ -204,8 +204,13 @@ def _decimal_required(wt: WriteType) -> tuple[int, int]:
 # --------------------------------------------------------------------------
 
 _DATE_RX = r"^\d{4}-\d{2}-\d{2}$"
-# ISO local time with optional fractional seconds and optional zone offset
-_TIME_RX = r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?(Z|[+-]\d{2}:?\d{2})?$"
+# ISO local time with optional fractional seconds and optional zone offset;
+# field ranges validated in the pattern (regex is the only semantic gate here,
+# unlike dates/timestamps where try_cast re-validates)
+_TIME_RX = (
+    r"^([01]\d|2[0-3]):([0-5]\d):([0-5]\d)(?:\.(\d{1,9}))?"
+    r"(Z|[+-](?:[01]\d|2[0-3]):?[0-5]\d)?$"
+)
 _TS_RX = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?$"
 
 
