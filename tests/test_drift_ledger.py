@@ -1,0 +1,84 @@
+"""Drift (quantile snapshot + KS) and resumable-ledger semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_conversions_spark.constraints.drift import (
+    DriftConstraint,
+    ks_statistic,
+    quantile_snapshot,
+    save_snapshot,
+)
+from avro_conversions_spark.ledger import ParquetLedger, ResumableValidation
+
+
+def test_ks_statistic_identical_is_zero():
+    q = [float(i) for i in range(11)]
+    p = [i / 10 for i in range(11)]
+    assert ks_statistic(q, p, q, p) == 0.0
+
+
+def test_ks_statistic_shifted():
+    p = [i / 10 for i in range(11)]
+    a = [float(i) for i in range(11)]
+    b = [float(i) + 100 for i in range(11)]  # disjoint → D = 1.0
+    assert ks_statistic(a, p, b, p) == 1.0
+
+
+def test_drift_detects_shift(spark, tmp_path):
+    base = spark.range(10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    cur_same = spark.range(10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    cur_shift = spark.range(10_000).select(((F.col("id") % 100) + 50).cast("double").alias("v"))
+    path = str(tmp_path / "baseline")
+    save_snapshot(quantile_snapshot(base, ["v"]), path)
+    d = DriftConstraint(["v"], path, threshold=0.1)
+    assert d.check(cur_same)[0]["status"] == "pass"
+    res = d.check(cur_shift)[0]
+    assert res["status"] == "fail" and res["ks"] > 0.3
+
+
+def test_ledger_resume_skips_completed(spark, tmp_path):
+    from avro_conversions_spark.constraints import not_null
+    from avro_conversions_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame(
+        [(f"c{i}", j, "user") for i in range(20) for j in range(3)],
+        "conv_id string, turn_idx int, role string",
+    )
+    eng = ValidationEngine(row_constraints=[not_null("conv_id")], key_cols=("conv_id", "turn_idx"))
+    ledger = ParquetLedger(spark, str(tmp_path / "ledger"))
+    rv = ResumableValidation(engine=eng, ledger=ledger, n_buckets=4)
+
+    done1 = rv.run(df, "run-1", verdicts_path=str(tmp_path / "verdicts"))
+    assert set(done1) == {"0", "1", "2", "3"}
+    assert sum(done1.values()) == 60
+
+    # resume: everything committed → nothing to do
+    done2 = rv.run(df, "run-1")
+    assert done2 == {}
+    # a new run id starts fresh
+    assert set(rv.pending(df, "run-2")) == {"0", "1", "2", "3"}
+    # ledger rows carry lineage + counts
+    rows = ledger.read().collect()
+    assert len(rows) == 4 and all(r.lineage.startswith("engine=") for r in rows)
+
+
+def test_ledger_partial_resume(spark, tmp_path):
+    from avro_conversions_spark.constraints import not_null
+    from avro_conversions_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, "u") for i in range(50)], "conv_id string, turn_idx int, role string"
+    )
+    eng = ValidationEngine(row_constraints=[not_null("conv_id")])
+    ledger = ParquetLedger(spark, str(tmp_path / "ledger2"))
+    rv = ResumableValidation(engine=eng, ledger=ledger, n_buckets=4)
+    # simulate a crash after two committed partitions
+    ledger.commit("r", "0", 10, "engine=x")
+    ledger.commit("r", "2", 10, "engine=x")
+    assert rv.pending(df, "r") == ["1", "3"]
+    done = rv.run(df, "r")
+    assert set(done) == {"1", "3"}
+    assert rv.pending(df, "r") == []
