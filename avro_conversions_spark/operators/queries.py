@@ -248,6 +248,61 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum repair mode (io/AsAvroParserBase.java:437-445): invalid
+    event_type substituted by the default symbol instead of flagged."""
+    ev = _t(spark, sf_dir, "events")
+    eng = ValidationEngine(
+        row_constraints=[enum_in("event_type", EVENT_TYPES_OK, default="view")],
+        key_cols=("event_id",),
+    )
+    return eng.repaired(ev).select("event_id", "event_type")
+
+
+def q_convert_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→date conversion through the resolver (R2/F3): format shipdate
+    to ISO strings, parse back with the compiled converter."""
+    from avro_conversions_spark.schema.model import LogicalType
+    from avro_conversions_spark.schema.resolution import SchemaResolver, WriteType
+    from pyspark.sql import types as T
+
+    li = _t(spark, sf_dir, "lineitem")
+    conv = SchemaResolver(strict_nullability=False).resolve(
+        WriteType(T.StringType(), format="date"), LogicalType("date")
+    )
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_str"),
+    )
+    return staged.select(
+        "l_orderkey", "l_linenumber", conv.convert(F.col("ship_str")).alias("ship_date")
+    )
+
+
+def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift check (KS over quantile sketches): first half of events as
+    baseline vs full table — rows-only (sketch grids are engine-specific)."""
+    import tempfile
+
+    from avro_conversions_spark.constraints.drift import (
+        DriftConstraint,
+        quantile_snapshot,
+        save_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    half = ev.where(F.col("event_id") % 2 == 0).select("value")
+    path = tempfile.mkdtemp() + "/baseline"
+    save_snapshot(quantile_snapshot(half, ["value"]), path)
+    dc = DriftConstraint(["value"], path, threshold=0.1)
+    rows = dc.check(ev.select("value"))
+    return spark.createDataFrame(
+        [(r["column"], r["ks"], r["status"]) for r in rows],
+        "column string, ks double, status string",
+    )
+
+
 # -------------------------------------------------------------- transcripts
 
 
@@ -307,6 +362,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "repair_events": q_repair_events,
+    "convert_dates": q_convert_dates,
+    "drift_events": q_drift_events,
     "validate_transcripts": q_validate_transcripts,
 }
 
@@ -510,6 +568,15 @@ SELECT doc_id,
               + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
               + punct_ok) / 3, 4) AS quality
 FROM m
+""",
+    "repair_events": f"""
+SELECT event_id,
+       CASE WHEN event_type IN {tuple(EVENT_TYPES_OK)!r} OR event_type IS NULL
+            THEN event_type ELSE 'view' END AS event_type
+FROM events
+""",
+    "convert_dates": """
+SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem
 """,
     "knn_bruteforce": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

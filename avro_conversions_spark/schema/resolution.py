@@ -337,6 +337,29 @@ def _int_range_conv(target: T.DataType, lo: int, hi: int) -> Converter:
     return Converter(conv, viol, "INT_OUT_OF_RANGE", target)
 
 
+_INT_RX = r"^[+-]?\d+$"
+_FLOAT_RX = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+
+
+def _string_number_conv(target: T.DataType) -> Converter:
+    """Textual number → numeric read type (the reference's Integer::decode /
+    Double::valueOf base rules, io/AsAvroParserBase.java:92-112, applied to
+    tokenizer output where every leaf is a string). Non-numeric text or
+    overflow → violation, never an exception."""
+    integral = isinstance(target, (T.IntegerType, T.LongType))
+    rx = _INT_RX if integral else _FLOAT_RX
+
+    def conv(c: Column) -> Column:
+        return F.when(c.rlike(rx), c.try_cast(target))
+
+    def viol(c: Column) -> Column:
+        return c.isNotNull() & (~c.rlike(rx) | F.when(c.rlike(rx), c.try_cast(target)).isNull())
+
+    return Converter(
+        conv, viol, "INVALID_NUMBER" if not integral else "INVALID_INTEGER", target
+    )
+
+
 def _enum_conv(read: EnumType, check_runtime: bool) -> Converter:
     syms = list(read.symbols)
 
@@ -524,17 +547,24 @@ class SchemaResolver:
             (
                 lambda w, r: isinstance(r, PrimitiveType)
                 and r.kind in ("int", "long")
-                and (_is_integral(w.dtype) or isinstance(w.dtype, T.DecimalType)),
+                and (
+                    _is_integral(w.dtype)
+                    or isinstance(w.dtype, T.DecimalType)
+                    # textual numbers — but NOT declared enums (ChoiceAsInt
+                    # must fail: JsonAsAvroParserTest.java:84)
+                    or (isinstance(w.dtype, T.StringType) and w.symbols is None)
+                ),
                 self._build_int,
             ),
             # R9-R14 widening/lossy numeric + boolean
             (
                 lambda w, r: isinstance(r, PrimitiveType)
                 and r.kind in ("float", "double")
-                and _is_numeric(w.dtype),
-                lambda w, r: _cast_conv(
-                    T.FloatType() if r.kind == "float" else T.DoubleType()
+                and (
+                    _is_numeric(w.dtype)
+                    or (isinstance(w.dtype, T.StringType) and w.symbols is None)
                 ),
+                self._build_float,
             ),
             (
                 lambda w, r: isinstance(r, PrimitiveType)
@@ -672,6 +702,17 @@ class SchemaResolver:
         raise ResolvingFailure(f"{w.dtype.simpleString()} cannot resolve to bytes/fixed")
 
     def _build_int(self, w: WriteType, r: PrimitiveType) -> Converter:
+        if isinstance(w.dtype, T.StringType):
+            # textual integers (tokenizer output / trust-reader): runtime
+            # regex + overflow guard, honoring any declared writer range
+            target = T.IntegerType() if r.kind == "int" else T.LongType()
+            if w.min_value is not None and w.max_value is not None:
+                bits = _int_bits(w)
+                if (r.kind == "int" and bits > 32) or bits > 64:
+                    raise ResolvingFailure(
+                        f"writer integer needs {bits} bits, read type {r.kind} is narrower"
+                    )
+            return _string_number_conv(target)
         bits = _int_bits(w)
         declared_range = w.min_value is not None and w.max_value is not None
         if r.kind == "int":
@@ -690,6 +731,12 @@ class SchemaResolver:
         if isinstance(w.dtype, T.DecimalType) and w.dtype.scale == 0:
             return _int_range_conv(T.LongType(), INT64_MIN, INT64_MAX)
         return _cast_conv(T.LongType())
+
+    def _build_float(self, w: WriteType, r: PrimitiveType) -> Converter:
+        target = T.FloatType() if r.kind == "float" else T.DoubleType()
+        if isinstance(w.dtype, T.StringType):
+            return _string_number_conv(target)
+        return _cast_conv(target)
 
     def _build_boolean(self, w: WriteType, r: PrimitiveType) -> Converter:
         if isinstance(w.dtype, T.BooleanType):
