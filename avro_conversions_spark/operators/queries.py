@@ -248,6 +248,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_except_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY.md §2.8): verdict-diff building block — exceptAll
+    between the full projection and a filtered snapshot."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    snap = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value") <= 50)
+        .select("event_id", "event_type")
+    )
+    return ev.exceptAll(snap)
+
+
+def q_top_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorts/limits (§2.8): deterministic top-k violation sample."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = SequenceConstraint(
+        conv_col="l_orderkey", idx_col="l_linenumber", ts_col=None, name="seq", start=1
+    )
+    return (
+        s.violations(li)
+        .select("l_orderkey", "l_linenumber", "observed")
+        .orderBy("l_orderkey", "l_linenumber", "observed")
+        .limit(20)
+    )
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.8): hourly counts per event_type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES_OK) + ["error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES_OK) + ["error"])
+    )
+
+
 def q_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enum repair mode (io/AsAvroParserBase.java:437-445): invalid
     event_type substituted by the default symbol instead of flagged."""
@@ -362,6 +399,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "except_events": q_except_events,
+    "top_violations": q_top_violations,
+    "pivot_events": q_pivot_events,
     "repair_events": q_repair_events,
     "convert_dates": q_convert_dates,
     "drift_events": q_drift_events,
@@ -568,6 +608,31 @@ SELECT doc_id,
               + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
               + punct_ok) / 3, 4) AS quality
 FROM m
+""",
+    "except_events": """
+SELECT event_id, event_type FROM events
+EXCEPT ALL
+SELECT event_id, event_type FROM events WHERE value <= 50
+""",
+    "top_violations": """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       l_linenumber::varchar || '!=' || rn::varchar AS observed
+FROM r WHERE l_linenumber != rn
+ORDER BY l_orderkey, l_linenumber, observed LIMIT 20
+""",
+    "pivot_events": """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1
 """,
     "repair_events": f"""
 SELECT event_id,
