@@ -37,7 +37,7 @@ from avro_conversions_spark.session import get_spark  # noqa: E402
 DATA = "/tmp/bench_scaling_transcripts"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
 N_LO, N_HI = 2, 8  # N and 4N
-REPEATS = 2
+REPEATS = 3
 
 
 def build_engine(spark):
@@ -88,7 +88,12 @@ def run_at(parallelism: int, n_rows: int) -> dict:
     spark = get_spark(
         app_name=f"scale-{parallelism}",
         master=f"local[{parallelism}]",
-        shuffle_partitions=parallelism,
+        # FIXED shuffle partition count across parallelism levels: a real
+        # cluster keeps spark.sql.shuffle.partitions constant while scaling
+        # executors. Sizing partitions to the thread count instead makes the
+        # small-cluster run spill (10M-row partitions at local[4] — measured
+        # 2x inflation) and corrupts the scaling ratio.
+        shuffle_partitions=64,
         extra_conf={
             # emulate an N-core executor honestly: JVM thread pools and GC
             # sized to N, not to the host's 32 logical CPUs
@@ -132,20 +137,24 @@ def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n = generate(n_convs)
 
-    def sub(par: int) -> dict:
-        best = None
-        for _ in range(REPEATS):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", str(par), str(n)],
-                capture_output=True, text=True, check=True,
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["wall_sec"] < best["wall_sec"]:
-                best = r
-        return best
+    def one(par: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(par), str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo = sub(N_LO)
-    hi = sub(N_HI)
+    # the host is a shared, noisy VM: interleave N/4N runs so both levels
+    # sample the same noise window, then take the best per level
+    best: dict[int, dict] = {}
+    for _ in range(REPEATS):
+        for par in (N_LO, N_HI):
+            r = one(par)
+            if par not in best or r["wall_sec"] < best[par]["wall_sec"]:
+                best[par] = r
+            print(json.dumps(r), flush=True)
+    lo = best[N_LO]
+    hi = best[N_HI]
     eff = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / (N_HI / N_LO), 3)
     os.makedirs(OUT, exist_ok=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
