@@ -39,9 +39,14 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_lsh",
     "simhash_near_dups",
+    "except_events",
+    "pivot_events",
+    "repair_events",
+    "convert_dates",
+    "drift_events",
 ]
 
-BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "20000"))
+BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
 
 
 def validated_turns(spark) -> tuple[int, float]:
