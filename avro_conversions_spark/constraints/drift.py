@@ -126,7 +126,7 @@ class DriftConstraint:
                 f"{self.name}({r['column']})",
                 r["status"],
                 0 if r["status"] in ("pass", "no_baseline") else 1,
-                df.count() if False else 0,  # rows_checked filled by engine callers
+                0,  # rows_checked is filled by engine callers, not here
                 {"ks": str(r["ks"]), "threshold": str(r["threshold"])},
             )
             for r in self.check(df)

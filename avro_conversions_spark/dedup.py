@@ -128,13 +128,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Pairs with shingle-set Jaccard ≥ threshold: (id_a, id_b, jaccard).
 
     Without ``candidates`` this self-joins on shingle (fine when shingles
     are selective / table small); at scale pass minhash_lsh_candidates to
-    bound the pair space."""
+    bound the pair space AND/OR set ``max_shingle_freq``: the self-join
+    cost is Σ f(shingle)², so a single stop-shingle appearing in 1% of a
+    10⁹-doc corpus alone contributes 10¹⁴ pairs. Dropping shingles with
+    document frequency > cap before the join bounds the blow-up; near-dup
+    pairs keep plenty of rare shingles, so recall loss is negligible (the
+    resulting Jaccard is then over the capped shingle set — exact scores
+    for survivors require a verify pass over the pair's full sets).
+    """
     sh = doc_shingles(df, text_col, id_col, shingle_n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.where(F.col("_df") <= max_shingle_freq).select("shingle")
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -152,23 +152,24 @@ class ValidationEngine:
             "partition_key"
         )
 
-        violations = (
-            self.violations_df(df)
-            .select(
-                F.lit(run_id).alias("run_id"),
-                *self.key_cols,
-                "constraint",
-                "column",
-                "reason",
-                "observed",
-            )
-            .orderBy(*self.key_cols, "constraint")
+        violations = self.violations_df(df).select(
+            F.lit(run_id).alias("run_id"),
+            *self.key_cols,
+            "constraint",
+            "column",
+            "reason",
+            "observed",
         )
         if cache_violations:
-            # violations are tiny relative to the input; caching them means
-            # the verdict aggregation below reuses them instead of re-running
-            # every constraint pass (at 100 TB: one full scan, not two)
+            # persist BEFORE the canonical orderBy: a global sort's range
+            # partitioner SAMPLES its child, so an uncached child plan (every
+            # constraint pass over the full table) would execute twice —
+            # once for sampling, once for the sort. Cached, both read the
+            # small violation set. Also lets the verdict aggregation below
+            # reuse it (at 100 TB: one full scan, not three).
             violations = violations.persist()
+        violations_unsorted = violations
+        violations = violations.orderBy(*self.key_cols, "constraint")
 
         all_names = (
             [c.name for c in self.row_constraints]
@@ -189,7 +190,7 @@ class ValidationEngine:
         # violation counts from the (small) violations side
         key0 = self.key_cols[0]
         vio_part = (
-            violations.join(
+            violations_unsorted.join(
                 df.select(part, *[F.col(k) for k in self.key_cols]).dropDuplicates(
                     list(self.key_cols)
                 ),
@@ -197,7 +198,7 @@ class ValidationEngine:
                 how="left",
             )
             if self.partition_expr is not None
-            else violations.withColumn("partition_key", F.lit("global"))
+            else violations_unsorted.withColumn("partition_key", F.lit("global"))
         )
         vio_counts = vio_part.groupBy("partition_key", "constraint").agg(
             F.count(F.lit(1)).alias("violation_count")

@@ -88,3 +88,18 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r.id_a, r.id_b): r.cos for r in dedup.embedding_near_duplicates(df, threshold=0.9, bits=4).collect()}
     assert got == {(0, 1): 1.0}
+
+
+def test_jaccard_shingle_frequency_cap(docs, spark):
+    """Stop-shingle cap: identical-doc pair survives (rare shingles remain),
+    and capped scores never exceed uncapped pair coverage."""
+    import avro_conversions_spark.dedup as dedup
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=3).collect()
+    }
+    assert (0, 1) in capped  # exact dup still found
+    # cap of 1 drops every shared shingle → no pairs at all
+    none = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_freq=0).collect()
+    assert none == []
