@@ -248,6 +248,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_resolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema resolution as a query: observed events schema vs a declared
+    Avro-style read schema → converted projection (enum default
+    substitution + narrowing guard), oracle-checked."""
+    from avro_conversions_spark.schema import SchemaResolver, from_avsc
+
+    ev = _t(spark, sf_dir, "events")
+    read, _ = from_avsc(
+        """
+    {"type":"record","name":"Event","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"user_id","type":["null","int"]},
+      {"name":"event_type","type":{"type":"enum","name":"ET",
+        "symbols":["view","click","signup","purchase"],"default":"view"}},
+      {"name":"value","type":["null","double"]},
+      {"name":"channel","type":"string","default":"web"}
+    ]}
+    """
+    )
+    plans = SchemaResolver(strict_nullability=False, trust_reader=True).resolve_record(
+        ev.schema, read
+    )
+    return ev.select(*[p.value() for p in plans])
+
+
+def q_verdicts_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition verdicts (FIXTURES.md §5 verdict granularity):
+    partition_key = event day."""
+    ev = _t(spark, sf_dir, "events")
+    eng = ValidationEngine(
+        row_constraints=[enum_in("event_type", EVENT_TYPES_OK), not_null("user_id")],
+        key_cols=("event_id",),
+        partition_expr=F.date_trunc("day", "ts").cast("date").cast("string"),
+    )
+    res = eng.run(ev, run_id="gate")
+    return res.verdicts.select(
+        "partition_key",
+        F.col("constraint").alias("check_name"),
+        "status",
+        "violation_count",
+        "rows_checked",
+    )
+
+
 def q_except_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops (SURVEY.md §2.8): verdict-diff building block — exceptAll
     between the full projection and a filtered snapshot."""
@@ -399,6 +443,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "resolve_events": q_resolve_events,
+    "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
     "top_violations": q_top_violations,
     "pivot_events": q_pivot_events,
@@ -608,6 +654,36 @@ SELECT doc_id,
               + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
               + punct_ok) / 3, 4) AS quality
 FROM m
+""",
+    "resolve_events": """
+SELECT event_id,
+       user_id::int AS user_id,
+       CASE WHEN event_type IN ('view','click','signup','purchase')
+            THEN event_type
+            WHEN event_type IS NOT NULL THEN 'view' END AS event_type,
+       value,
+       'web' AS channel
+FROM events
+""",
+    "verdicts_partitioned": f"""
+WITH days AS (
+  SELECT date_trunc('day', ts)::date::varchar AS partition_key,
+         count(*) AS rows_checked,
+         count(*) FILTER (event_type IS NOT NULL
+                          AND event_type NOT IN {tuple(EVENT_TYPES_OK)!r})
+           AS enum_viol,
+         count(*) FILTER (user_id IS NULL) AS null_viol
+  FROM events GROUP BY 1
+)
+SELECT partition_key, 'enum(event_type)' AS check_name,
+       CASE WHEN enum_viol > 0 THEN 'fail' ELSE 'pass' END AS status,
+       enum_viol AS violation_count, rows_checked
+FROM days
+UNION ALL
+SELECT partition_key, 'not_null(user_id)',
+       CASE WHEN null_viol > 0 THEN 'fail' ELSE 'pass' END,
+       null_viol, rows_checked
+FROM days
 """,
     "except_events": """
 SELECT event_id, event_type FROM events
