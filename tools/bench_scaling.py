@@ -204,7 +204,9 @@ The reference library is single-threaded and publishes no numbers
 so the Spark engine's throughput above strictly dominates its
 single-document design at equal data volume.
 """
-    with open(os.path.join(OUT, "BASELINE.md"), "w") as f:
+    # BASELINE.md is curated by hand from these results; keep the raw
+    # generated report side-by-side so reruns never clobber the analysis
+    with open(os.path.join(OUT, "BASELINE.generated.md"), "w") as f:
         f.write(md)
     print(json.dumps({"n": n, "lo": lo, "hi": hi, "efficiency": eff}))
 
