@@ -248,6 +248,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): the
+    batch analogue of a streaming session window, via lag + running sum.
+    One shuffle keyed on user_id; skew bounded by max events/user."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_session).over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_resolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema resolution as a query: observed events schema vs a declared
     Avro-style read schema → converted projection (enum default
@@ -443,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "sessionize_events": q_sessionize_events,
     "resolve_events": q_resolve_events,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
@@ -654,6 +674,25 @@ SELECT doc_id,
               + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
               + punct_ok) / 3, 4) AS quality
 FROM m
+""",
+    "sessionize_events": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
 """,
     "resolve_events": """
 SELECT event_id,
