@@ -248,6 +248,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the latest preceding view
+    by the same user (union+window, one shuffle — operators/asof.py)."""
+    from avro_conversions_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, key="user_id", left_ts="ts", right_ts="view_ts")
+    return out.select("event_id", "user_id", F.col("asof_view_ts").alias("view_ts"))
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session): the
     batch analogue of a streaming session window, via lag + running sum.
@@ -462,6 +478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "asof_join_events": q_asof_join_events,
     "sessionize_events": q_sessionize_events,
     "resolve_events": q_resolve_events,
     "verdicts_partitioned": q_verdicts_partitioned,
@@ -674,6 +691,12 @@ SELECT doc_id,
               + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
               + punct_ok) / 3, 4) AS quality
 FROM m
+""",
+    "asof_join_events": """
+WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, v.view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
 """,
     "sessionize_events": """
 WITH g AS (

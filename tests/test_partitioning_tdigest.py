@@ -84,3 +84,27 @@ def test_tdigest_distributed(spark):
     got = dict(tdigest_quantiles(df, "v", [0.5, 0.9], n_buckets=8))
     assert abs(got[0.5] - 499.5) < 15
     assert abs(got[0.9] - 899.1) < 15
+
+
+def test_asof_join_semantics(spark):
+    from avro_conversions_spark.operators.asof import asof_join
+    import datetime as dt
+
+    TS = dt.datetime
+    left = spark.createDataFrame(
+        [(1, "a", TS(2024, 1, 1, 10, 0)), (2, "a", TS(2024, 1, 1, 12, 0)),
+         (3, "b", TS(2024, 1, 1, 9, 0))],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", TS(2024, 1, 1, 9, 30), 1.0),   # before both a-events
+         ("a", TS(2024, 1, 1, 11, 0), 2.0),   # between them
+         ("a", TS(2024, 1, 1, 12, 0), 3.0),   # same instant as event 2 → visible
+         ("b", TS(2024, 1, 1, 9, 30), 9.0)],  # AFTER b's only event → invisible
+        "k string, rts timestamp, px double",
+    )
+    out = {r.event_id: (r.asof_rts, r.asof_px)
+           for r in asof_join(left, right, key="k", left_ts="ts", right_ts="rts").collect()}
+    assert out[1] == (TS(2024, 1, 1, 9, 30), 1.0)
+    assert out[2] == (TS(2024, 1, 1, 12, 0), 3.0)  # <= tie included
+    assert out[3] == (None, None)  # no preceding right row
