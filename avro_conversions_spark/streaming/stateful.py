@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator: online per-conversation sequence
+validation via applyInPandasWithState.
+
+The batch engine's SequenceConstraint needs the whole conversation in one
+window; a live stream can't wait for conversations to finish. This
+operator keeps per-conversation state (highest turn_idx seen, last ts) and
+emits violations INCREMENTALLY as turns arrive:
+
+- NONCONTIGUOUS_TURN_IDX: a turn arrives whose idx != state.next_expected
+  (out-of-order or gapped delivery);
+- TS_REGRESSION: ts earlier than the last seen ts;
+- DUPLICATE_TURN: an idx at or below the highest seen.
+
+State is (max_idx, last_ts_epoch_us, n_turns) per conv_id — O(1) per
+conversation, bounded by a processing-time timeout that expires idle
+conversations (state store stays proportional to ACTIVE conversations,
+not historical ones — the property that lets this run forever at
+10^12-turn scale).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("observed", T.StringType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_idx", T.IntegerType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+    ]
+)
+
+
+def _validate_conversation(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    conv_id = key[0]
+    if state.hasTimedOut:
+        state.remove()
+        return
+    max_idx, last_ts_us, n_turns = state.get if state.exists else (-1, -1, 0)
+    out: list[tuple[str, int, str, str]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["turn_idx"])
+        for idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            idx = int(idx)
+            if idx <= max_idx:
+                out.append((conv_id, idx, "DUPLICATE_TURN", f"max_seen={max_idx}"))
+            elif idx != max_idx + 1:
+                out.append(
+                    (conv_id, idx, "NONCONTIGUOUS_TURN_IDX", f"{idx}!={max_idx + 1}")
+                )
+            if last_ts_us >= 0 and ts_us < last_ts_us:
+                out.append((conv_id, idx, "TS_REGRESSION", str(ts)))
+            max_idx = max(max_idx, idx)
+            last_ts_us = max(last_ts_us, ts_us)
+            n_turns += 1
+    state.update((max_idx, last_ts_us, n_turns))
+    # idle conversations expire after 1h of no traffic → bounded state
+    state.setTimeoutDuration(3600 * 1000)
+    if out:
+        yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "reason", "observed"])
+
+
+def stateful_sequence_violations(stream: DataFrame) -> DataFrame:
+    """Apply the per-conversation stateful validator to a streaming
+    DataFrame with (conv_id, turn_idx, ts)."""
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            _validate_conversation,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

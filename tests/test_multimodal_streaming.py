@@ -84,3 +84,40 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "enum(role)")] == 1
     assert got[("2024-01-01 00:01:00", "enum(role)")] == 1
     assert got[("2024-01-01 00:01:00", "not_null(conv_id)")] == 1
+
+
+def test_stateful_sequence_violations(spark, tmp_path):
+    """applyInPandasWithState: incremental per-conversation validation
+    across two micro-batches with carried state."""
+    from avro_conversions_spark.streaming.stateful import stateful_sequence_violations
+
+    src = str(tmp_path / "stateful_src")
+    spark.createDataFrame(
+        [
+            ("c1", 0, "2024-01-01 00:00:00"),
+            ("c1", 1, "2024-01-01 00:00:10"),
+            ("c1", 3, "2024-01-01 00:00:20"),   # gap (2 missing)
+            ("c2", 0, "2024-01-01 00:00:30"),
+            ("c2", 0, "2024-01-01 00:00:40"),   # duplicate turn 0
+            ("c2", 1, "2024-01-01 00:00:05"),   # ts regression
+        ],
+        "conv_id string, turn_idx int, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("conv_id string, turn_idx int, ts timestamp").parquet(src)
+    out = stateful_sequence_violations(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_viol")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.conv_id, r.turn_idx, r.reason) for r in spark.sql("select * from stateful_viol").collect()}
+    assert ("c1", 3, "NONCONTIGUOUS_TURN_IDX") in got
+    assert ("c2", 0, "DUPLICATE_TURN") in got
+    assert ("c2", 1, "TS_REGRESSION") in got
+    assert len([g for g in got if g[0] == "c1"]) == 1  # turns 0,1 clean
