@@ -41,6 +41,8 @@ HEADLINE = [
     "simhash_near_dups",
     "except_events",
     "pivot_events",
+    "sessionize_events",
+    "asof_join_events",
     "repair_events",
     "convert_dates",
     "drift_events",
