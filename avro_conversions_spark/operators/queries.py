@@ -248,6 +248,35 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via cube: per-flag, per-status, both, and grand total
+    in ONE pass (map-side partial agg for every grouping set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS): orders that have at least one expensive line."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 90000)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_corr_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_discount"),
+    )
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase annotated with the latest preceding view
     by the same user (union+window, one shuffle — operators/asof.py)."""
@@ -478,6 +507,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "cube_lineitem": q_cube_lineitem,
+    "semi_join_orders": q_semi_join_orders,
+    "corr_stats_lineitem": q_corr_stats_lineitem,
     "asof_join_events": q_asof_join_events,
     "sessionize_events": q_sessionize_events,
     "resolve_events": q_resolve_events,
@@ -691,6 +723,21 @@ SELECT doc_id,
               + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
               + punct_ok) / 3, 4) AS quality
 FROM m
+""",
+    "cube_lineitem": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "semi_join_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+""",
+    "corr_stats_lineitem": """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_discount), 6) AS stddev_discount
+FROM lineitem
 """,
     "asof_join_events": """
 WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
