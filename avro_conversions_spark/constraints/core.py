@@ -157,16 +157,22 @@ def decimal_fits(
 ) -> RowConstraint:
     """V4 exact decimal(p,s) — RoundingMode.UNNECESSARY semantics
     (io/AsAvroParserBase.java:457-462): excess fraction digits are a
-    violation, never rounded."""
-    if scale > 0:
-        rx = rf"^[+-]?\d{{1,{precision - scale}}}(\.\d{{0,{scale}}})?$"
-    else:
-        rx = rf"^[+-]?\d{{1,{precision}}}$"
+    violation, never rounded. Accepts either the plain textual form (regex,
+    p==s-safe) or a scientific/trailing-zero rendering that round-trips
+    exactly through decimal(38,s) — doubles render as '1.0E-4' and must not
+    be falsely flagged."""
+    from avro_conversions_spark.schema.resolution import (
+        decimal_regex,
+        decimal_roundtrip_ok,
+    )
+
+    rx = decimal_regex(precision, scale)
     return RowConstraint(
         name=name or f"decimal({column},{precision},{scale})",
         column=column,
         reason="DECIMAL_OUT_OF_RANGE",
-        predicate=lambda c: c.isNotNull() & ~c.cast("string").rlike(rx),
+        predicate=lambda c: c.isNotNull()
+        & ~(c.cast("string").rlike(rx) | decimal_roundtrip_ok(c, precision, scale)),
     )
 
 

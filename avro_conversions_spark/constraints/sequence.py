@@ -31,10 +31,16 @@ class SequenceConstraint:
     check_ts_monotone: bool = True
     start: int = 0  # first expected index (0 for transcripts, 1 for SQL-style)
 
-    def violations(self, df: DataFrame) -> DataFrame:
-        """(conv, idx, constraint, column, reason, observed) rows."""
+    def violations(self, df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+        """(conv, idx, [extra...,] constraint, column, reason, observed) rows.
+        ``extra_cols`` (e.g. the engine's carried partition key) ride the
+        same window pass."""
         w = Window.partitionBy(self.conv_col).orderBy(self.idx_col)
-        cols = [self.conv_col, self.idx_col] + ([self.ts_col] if self.ts_col else [])
+        cols = (
+            [self.conv_col, self.idx_col]
+            + ([self.ts_col] if self.ts_col else [])
+            + list(extra_cols)
+        )
         out = df.select(*cols)
         checks = []
         if self.check_contiguous:
@@ -75,13 +81,13 @@ class SequenceConstraint:
                 for pred, col, reason, obs in checks
             ]
         )
+        keep = [self.conv_col, self.idx_col, *extra_cols]
         return (
             out.select(
-                self.conv_col,
-                self.idx_col,
+                *keep,
                 F.filter(viol_structs, lambda x: x.isNotNull()).alias("_v"),
             )
             .where(F.size("_v") > 0)
-            .select(self.conv_col, self.idx_col, F.explode("_v").alias("_e"))
-            .select(self.conv_col, self.idx_col, "_e.*")
+            .select(*keep, F.explode("_v").alias("_e"))
+            .select(*keep, "_e.*")
         )

@@ -40,7 +40,7 @@ class UniqueConstraint:
         if self.salt_buckets is None:
             self.salt_buckets = 16 if len(self.columns) == 1 else 0
 
-    def duplicate_keys(self, df: DataFrame) -> DataFrame:
+    def duplicate_keys(self, df: DataFrame, part_col: str | None = None) -> DataFrame:
         """Keys occurring more than once, with their multiplicity.
 
         Default path is hash-compacted two-phase (exact):
@@ -54,8 +54,15 @@ class UniqueConstraint:
 
         Spark's map-side partial aggregation already combines within each
         input partition; the explicit salt phase (salt_buckets > 0) only
-        helps when a single key's partials overwhelm one reducer."""
+        helps when a single key's partials overwhelm one reducer.
+
+        ``part_col``: optional partition-attribution column carried through
+        the aggregation as ``min(part_col)`` — deterministic ("first
+        partition lexicographically" containing the key), and free compared
+        to any join-back (rides the same shuffle)."""
         cols = list(self.columns)
+        pc = [part_col] if part_col else []
+        p_aggs = [F.min(part_col).alias(part_col)] if part_col else []
         if not self.salt_buckets:
             h = F.xxhash64(*cols).alias("_kh")
             cand = (
@@ -65,31 +72,32 @@ class UniqueConstraint:
                 .where(F.col("_c") > 1)
                 .select("_kh")
             )
-            candidates = df.select(*cols, h).join(cand, "_kh", "left_semi")
+            candidates = df.select(*cols, *pc, h).join(cand, "_kh", "left_semi")
             return (
                 candidates.groupBy(*cols)
-                .agg(F.count(F.lit(1)).alias("multiplicity"))
+                .agg(F.count(F.lit(1)).alias("multiplicity"), *p_aggs)
                 .where(F.col("multiplicity") > 1)
             )
         salt = F.pmod(F.xxhash64(F.lit("dupsalt"), F.spark_partition_id()), F.lit(self.salt_buckets))
         partial = (
-            df.select(*cols)
+            df.select(*cols, *pc)
             .withColumn("_salt", salt)
             .groupBy(*cols, "_salt")
-            .agg(F.count(F.lit(1)).alias("_partial"))
+            .agg(F.count(F.lit(1)).alias("_partial"), *p_aggs)
         )
         return (
             partial.groupBy(*cols)
-            .agg(F.sum("_partial").alias("multiplicity"))
+            .agg(F.sum("_partial").alias("multiplicity"), *p_aggs)
             .where(F.col("multiplicity") > 1)
         )
 
-    def violations(self, df: DataFrame) -> DataFrame:
+    def violations(self, df: DataFrame, part_col: str | None = None) -> DataFrame:
         """One violation row per duplicated key (not per duplicate row):
-        (key cols..., constraint, column, reason, observed)."""
-        dups = self.duplicate_keys(df)
+        (key cols..., [part_col,] constraint, column, reason, observed)."""
+        dups = self.duplicate_keys(df, part_col=part_col)
         return dups.select(
             *self.columns,
+            *([part_col] if part_col else []),
             F.lit(self.name).alias("constraint"),
             F.lit(",".join(self.columns)).alias("column"),
             F.lit(self.reason).alias("reason"),

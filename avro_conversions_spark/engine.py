@@ -41,6 +41,9 @@ from avro_conversions_spark.constraints.uniqueness import UniqueConstraint
 
 TS_CANON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+# internal column name for the carried partition key (stripped from outputs)
+_PART = "_acs_part"
+
 
 def canonical_str(col: Column, dtype: T.DataType) -> Column:
     """Frozen formatting spec for the ``observed`` field (byte-match
@@ -54,6 +57,14 @@ def canonical_str(col: Column, dtype: T.DataType) -> Column:
 class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
+    # handle on the persisted internal violations frame (if caching was
+    # requested) so callers (e.g. the resumable ledger loop) can unpersist
+    # after materializing outputs.
+    cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 @dataclass
@@ -79,7 +90,7 @@ class ValidationEngine:
 
     # ------------------------------------------------------------- row pass
 
-    def _row_violations(self, df: DataFrame) -> DataFrame:
+    def _row_violations(self, df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
         if not self.row_constraints:
             return None  # type: ignore[return-value]
         schema = df.schema
@@ -98,45 +109,56 @@ class ValidationEngine:
                 )
             )
         arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        sel = [*self.key_cols, *extra_cols]
         return (
-            df.select(*self.key_cols, arr.alias("_v"))
+            df.select(*sel, arr.alias("_v"))
             .where(F.size("_v") > 0)
-            .select(*self.key_cols, F.explode("_v").alias("_e"))
-            .select(*self.key_cols, "_e.*")
+            .select(*sel, F.explode("_v").alias("_e"))
+            .select(*sel, "_e.*")
         )
 
     # ------------------------------------------------------------ agg passes
 
-    def _agg_violations(self, df: DataFrame) -> list[DataFrame]:
+    def _agg_violations(self, df: DataFrame, part_col: str | None = None) -> list[DataFrame]:
         out: list[DataFrame] = []
         key_cols = list(self.key_cols)
+        extra = [part_col] if part_col else []
         for u in self.unique_constraints:
-            v = u.violations(df)
+            # partition attribution rides the existing two-phase aggregation
+            # (min(partition) per duplicated key) — no extra join, no extra
+            # scan; deterministic "first partition lexicographically".
+            v = u.violations(df, part_col=part_col)
             # uniqueness violations key on the duplicated key itself; pad any
             # missing engine key columns with nulls for a uniform schema
             missing = [k for k in key_cols if k not in v.columns]
             for m in missing:
                 v = v.withColumn(m, F.lit(None).cast(df.schema[m].dataType))
-            out.append(v.select(*key_cols, "constraint", "column", "reason", "observed"))
+            out.append(
+                v.select(*key_cols, *extra, "constraint", "column", "reason", "observed")
+            )
         for r in self.referential_constraints:
-            out.append(r.violation_rows(df, key_cols))
+            # part_col is a plain column on df, so the violation projection
+            # carries it through the anti-join for free
+            out.append(r.violation_rows(df, key_cols + extra))
         for s in self.sequence_constraints:
-            v = s.violations(df)
+            v = s.violations(df, extra_cols=tuple(extra))
             rename = {s.conv_col: key_cols[0], s.idx_col: key_cols[1]}
             for old, new in rename.items():
                 if old != new:
                     v = v.withColumnRenamed(old, new)
-            out.append(v.select(*key_cols, "constraint", "column", "reason", "observed"))
+            out.append(
+                v.select(*key_cols, *extra, "constraint", "column", "reason", "observed")
+            )
         return out
 
     # ------------------------------------------------------------------ run
 
-    def violations_df(self, df: DataFrame) -> DataFrame:
+    def violations_df(self, df: DataFrame, _part_col: str | None = None) -> DataFrame:
         parts: list[DataFrame] = []
-        rv = self._row_violations(df)
+        rv = self._row_violations(df, extra_cols=(_part_col,) if _part_col else ())
         if rv is not None:
             parts.append(rv)
-        parts.extend(self._agg_violations(df))
+        parts.extend(self._agg_violations(df, part_col=_part_col))
         if not parts:
             raise ValueError("no constraints configured")
         out = parts[0]
@@ -148,18 +170,16 @@ class ValidationEngine:
         self, df: DataFrame, run_id: str = "run-0", cache_violations: bool = True
     ) -> ValidationResult:
         self.check_plan(df.schema)
-        part = (self.partition_expr if self.partition_expr is not None else F.lit("global")).alias(
-            "partition_key"
-        )
+        part_expr = (
+            self.partition_expr if self.partition_expr is not None else F.lit("global")
+        ).cast("string")
+        # carry partition_key THROUGH every constraint pass (free: same scan,
+        # one extra small column) instead of joining violations back to a
+        # full-table dropDuplicates — at 100 TB that join was an extra
+        # whole-table exchange just to map violation -> partition.
+        pdf = df.withColumn(_PART, part_expr)
 
-        violations = self.violations_df(df).select(
-            F.lit(run_id).alias("run_id"),
-            *self.key_cols,
-            "constraint",
-            "column",
-            "reason",
-            "observed",
-        )
+        vint = self.violations_df(pdf, _part_col=_PART)
         if cache_violations:
             # persist BEFORE the canonical orderBy: a global sort's range
             # partitioner SAMPLES its child, so an uncached child plan (every
@@ -167,9 +187,15 @@ class ValidationEngine:
             # once for sampling, once for the sort. Cached, both read the
             # small violation set. Also lets the verdict aggregation below
             # reuse it (at 100 TB: one full scan, not three).
-            violations = violations.persist()
-        violations_unsorted = violations
-        violations = violations.orderBy(*self.key_cols, "constraint")
+            vint = vint.persist()
+        violations = vint.select(
+            F.lit(run_id).alias("run_id"),
+            *self.key_cols,
+            "constraint",
+            "column",
+            "reason",
+            "observed",
+        ).orderBy(*self.key_cols, "constraint")
 
         all_names = (
             [c.name for c in self.row_constraints]
@@ -183,30 +209,24 @@ class ValidationEngine:
 
         # rows_checked: column-pruned scan over just the partition expression
         rows_checked = (
-            df.select(part)
+            pdf.select(F.col(_PART).alias("partition_key"))
             .groupBy("partition_key")
             .agg(F.count(F.lit(1)).alias("rows_checked"))
         )
-        # violation counts from the (small) violations side
-        key0 = self.key_cols[0]
-        vio_part = (
-            violations_unsorted.join(
-                df.select(part, *[F.col(k) for k in self.key_cols]).dropDuplicates(
-                    list(self.key_cols)
-                ),
-                on=list(self.key_cols),
-                how="left",
-            )
-            if self.partition_expr is not None
-            else violations_unsorted.withColumn("partition_key", F.lit("global"))
-        )
-        vio_counts = vio_part.groupBy("partition_key", "constraint").agg(
-            F.count(F.lit(1)).alias("violation_count")
-        )
+        # violation counts straight from the carried partition column; rows
+        # whose pass couldn't attribute a partition (e.g. null-keyed) land in
+        # a dedicated bucket instead of being silently dropped
+        vio_counts = vint.groupBy(
+            F.coalesce(F.col(_PART), F.lit("unattributed")).alias("partition_key"),
+            "constraint",
+        ).agg(F.count(F.lit(1)).alias("violation_count"))
 
+        # FULL outer join: a nonzero violation_count must surface even when
+        # its partition_key matches no rows_checked partition (the silent
+        # false-pass bug this replaces)
         verdicts = (
             rows_checked.crossJoin(names_df)
-            .join(vio_counts, ["partition_key", "constraint"], "left")
+            .join(vio_counts, ["partition_key", "constraint"], "full")
             .select(
                 F.lit(run_id).alias("run_id"),
                 "partition_key",
@@ -215,14 +235,18 @@ class ValidationEngine:
                 .otherwise(F.lit("pass"))
                 .alias("status"),
                 F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
-                "rows_checked",
+                F.coalesce("rows_checked", F.lit(0)).alias("rows_checked"),
                 F.create_map(
                     F.lit("engine"), F.lit("avro_conversions_spark"),
                 ).alias("metrics"),
             )
             .orderBy("partition_key", "constraint")
         )
-        return ValidationResult(verdicts=verdicts, violations=violations)
+        return ValidationResult(
+            verdicts=verdicts,
+            violations=violations,
+            cached=vint if cache_violations else None,
+        )
 
     # ------------------------------------------------------------- repairs
 

@@ -73,6 +73,13 @@ class ResumableValidation:
     ledger: ParquetLedger
     n_buckets: int = 16
     partition_col: str | None = None  # physical partition column, if any
+    # staging path for hash-bucket mode: the computed bucket predicate
+    # cannot prune parquet, so without staging every bucket re-scans the
+    # FULL table (N buckets -> N full scans). Staging materializes the
+    # bucket column ONCE (one full scan, partitioned write); each bucket
+    # then reads only its own partition directory. With a physical
+    # partition_col this is unnecessary — partition pruning is free.
+    stage_path: str | None = None
 
     def _bucket_expr(self, df: DataFrame):
         if self.partition_col:
@@ -91,6 +98,26 @@ class ResumableValidation:
             keys = [str(i) for i in range(self.n_buckets)]
         return [k for k in sorted(keys) if k not in done]
 
+    def _staged_source(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
+        """Return (source frame, bucket filter column) such that filtering
+        on one bucket prunes files instead of re-scanning the table."""
+        if self.partition_col:
+            return df, self._bucket_expr(df)
+        if not self.stage_path:
+            return df, self._bucket_expr(df)
+        spark = df.sparkSession
+        jvm = spark._jvm  # noqa: SLF001 — hadoop FS existence check
+        hpath = jvm.org.apache.hadoop.fs.Path(self.stage_path + "/_SUCCESS")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        if not fs.exists(hpath):
+            # one full scan; deterministic bucket expr, so a crashed stage
+            # is simply rewritten (overwrite) and a finished one is reused
+            df.withColumn("_bucket", self._bucket_expr(df)).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(self.stage_path)
+        staged = spark.read.parquet(self.stage_path)
+        return staged, F.col("_bucket").cast("string")
+
     def run(
         self,
         df: DataFrame,
@@ -99,21 +126,31 @@ class ResumableValidation:
         violations_path: str | None = None,
     ) -> dict:
         """Validate pending partitions; commit a watermark after each.
-        Returns {partition_key: rows_checked}. Idempotent: re-running after
-        a crash re-does only uncommitted partitions."""
-        bucket = self._bucket_expr(df).alias("_bucket")
+        Returns {partition_key: rows_checked}. Effectively-once outputs:
+        verdicts/violations are written partitioned by partition_key with
+        dynamic partition OVERWRITE, so a crash between the write and the
+        watermark commit re-runs the bucket and *replaces* (not duplicates)
+        its output files on resume."""
+        src, bucket = self._staged_source(df)
         done: dict[str, int] = {}
         for pk in self.pending(df, run_id):
-            part_df = df.where(bucket == F.lit(pk))
+            part_df = src.where(bucket == F.lit(pk))
             res = self.engine.run(part_df, run_id=run_id)
             if verdicts_path:
                 res.verdicts.withColumn("partition_key", F.lit(pk)).write.mode(
-                    "append"
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "partition_key"
                 ).parquet(verdicts_path)
             if violations_path:
-                res.violations.write.mode("append").parquet(violations_path)
+                res.violations.withColumn("partition_key", F.lit(pk)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "partition_key"
+                ).parquet(violations_path)
             rows = res.verdicts.agg(F.max("rows_checked")).collect()[0][0] or 0
             n_viol = res.verdicts.agg(F.sum("violation_count")).collect()[0][0] or 0
+            res.unpersist()  # drop the bucket's cached violations
             self.ledger.commit(
                 run_id,
                 pk,

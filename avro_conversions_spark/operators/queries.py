@@ -590,7 +590,7 @@ FROM r WHERE l_linenumber != rn
     "profile_lineitem": "\nUNION ALL\n".join(
         f"""
 SELECT '{c}' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::double / count(*), 6) AS null_rate,
        count(DISTINCT {c}) AS n_distinct,
        min({c})::varchar AS min_str, max({c})::varchar AS max_str,
@@ -756,7 +756,7 @@ WITH g AS (
 ), s AS (
   SELECT user_id, ts, value,
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -306,17 +306,47 @@ def _binary_conv(encoding: str, size: int | None) -> Converter:
     return Converter(conv, viol, reason if size is None else "WRONG_BINARY_SIZE", T.BinaryType())
 
 
+def decimal_regex(p: int, s: int) -> str:
+    """Exact textual decimal(p,s): at most s fraction digits and p-s integer
+    digits. Handles the legal Avro edge p == s (decimal(2,2) holds 0.xx):
+    the integer part must then be 0 — a naive ``\\d{1,0}`` is an illegal
+    regex repetition that would crash rlike at task runtime."""
+    if s == 0:
+        return rf"^[+-]?\d{{1,{p}}}$"
+    if p == s:
+        return rf"^[+-]?(0(\.\d{{0,{s}}})?|\.\d{{1,{s}}})$"
+    return rf"^[+-]?\d{{1,{p - s}}}(\.\d{{0,{s}}})?$"
+
+
+def decimal_roundtrip_ok(c: Column, p: int, s: int) -> Column:
+    """True when the value's decimal rendering fits (p,s) without rounding,
+    judged by a wide-decimal round trip instead of a string regex — Spark
+    renders doubles with |x| < 1e-3 or >= 1e7 in scientific notation
+    ('1.0E-4'), which a plain-decimal regex falsely flags. Round to s digits
+    via decimal(38,s); exact iff the trip back to double is identity, plus
+    the integer-digit bound."""
+    d = c.try_cast(T.DecimalType(38, s))
+    dbl = c.try_cast("double")
+    ok = d.isNotNull() & (d.cast("double") == dbl) & (F.abs(dbl) < F.lit(float(10 ** (p - s))))
+    return F.coalesce(ok, F.lit(False))
+
+
 def _decimal_exact_conv(p: int, s: int, from_string: bool) -> Converter:
     """decimal(p,s) with RoundingMode.UNNECESSARY semantics: a value with
     more than s fraction digits or more than p-s integer digits is a
-    violation, never silently rounded (io/AsAvroParserBase.java:457-462)."""
+    violation, never silently rounded (io/AsAvroParserBase.java:457-462).
+
+    String writers: textual check (BigDecimal semantics — plain form via
+    regex, scientific/trailing-zero forms via the round-trip predicate).
+    Float/double writers: round-trip predicate only (their string rendering
+    may be scientific)."""
     target = T.DecimalType(p, s)
-    # exact textual decimal with at most s fraction digits / p-s int digits
-    rx = rf"^[+-]?\d{{1,{p - s}}}(\.\d{{0,{s}}})?$" if s > 0 else rf"^[+-]?\d{{1,{p}}}$"
+    rx = decimal_regex(p, s)
 
     def fits(c: Column) -> Column:
-        txt = c.cast("string") if not from_string else c
-        return txt.rlike(rx)
+        if from_string:
+            return c.rlike(rx) | decimal_roundtrip_ok(c, p, s)
+        return decimal_roundtrip_ok(c, p, s)
 
     def conv(c: Column) -> Column:
         return F.when(fits(c), c.try_cast(target))

@@ -82,3 +82,57 @@ def test_ledger_partial_resume(spark, tmp_path):
     done = rv.run(df, "r")
     assert set(done) == {"1", "3"}
     assert rv.pending(df, "r") == []
+
+
+def test_ledger_staged_buckets_prune_files(spark, tmp_path):
+    """With stage_path set, a single bucket's scan must read only its own
+    partition directory — resume does NOT re-scan the full table per bucket
+    (VERDICT round-1 scale hazard d)."""
+    from avro_conversions_spark.constraints import not_null
+    from avro_conversions_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame(
+        [(f"c{i}", j, "u") for i in range(40) for j in range(2)],
+        "conv_id string, turn_idx int, role string",
+    )
+    eng = ValidationEngine(row_constraints=[not_null("conv_id")])
+    ledger = ParquetLedger(spark, str(tmp_path / "ledger3"))
+    rv = ResumableValidation(
+        engine=eng, ledger=ledger, n_buckets=4, stage_path=str(tmp_path / "stage")
+    )
+    src, bucket = rv._staged_source(df)
+    one = src.where(bucket == F.lit("1"))
+    # partition pruning: the scan must carry a PartitionFilter on _bucket
+    # (inputFiles() ignores pruning, so inspect the physical plan)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200]
+    # end-to-end through the staged path still validates everything
+    done = rv.run(df, "r-staged")
+    assert sum(done.values()) == 80
+
+
+def test_ledger_rerun_replaces_not_duplicates(spark, tmp_path):
+    """Crash between output write and watermark commit must not duplicate
+    verdict/violation rows on resume (dynamic partition overwrite)."""
+    from avro_conversions_spark.constraints import not_null
+    from avro_conversions_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, None if i % 7 == 0 else "u") for i in range(21)],
+        "conv_id string, turn_idx int, role string",
+    )
+    eng = ValidationEngine(row_constraints=[not_null("role")])
+    ledger = ParquetLedger(spark, str(tmp_path / "ledger4"))
+    rv = ResumableValidation(engine=eng, ledger=ledger, n_buckets=2)
+    vp, xp = str(tmp_path / "verd"), str(tmp_path / "viol")
+
+    rv.run(df, "r", verdicts_path=vp, violations_path=xp)
+    v1 = spark.read.parquet(vp).count()
+    x1 = spark.read.parquet(xp).count()
+    # simulate the crash: wipe the ledger (outputs already written), re-run
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ledger4"))
+    rv.run(df, "r", verdicts_path=vp, violations_path=xp)
+    assert spark.read.parquet(vp).count() == v1
+    assert spark.read.parquet(xp).count() == x1

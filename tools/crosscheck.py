@@ -57,12 +57,33 @@ def main() -> None:
             res = con.sql(ORACLES[name])
             dcols = res.columns
             drows = res.fetchall()
+            ddf = res.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            failures += 1
+            continue
+        # Driver-hash mimic: the driver compares typed (pandas) values, so a
+        # DuckDB HUGEINT (sum of ints -> float64 in pandas) vs Spark bigint is
+        # a hash mismatch even when stringified values agree. Compare dtype
+        # kinds per column (int-family vs float vs datetime vs object).
+        try:
+            spd = sdf.limit(1).toPandas()
+            kind = lambda d: {"u": "i"}.get(d.kind, d.kind)  # noqa: E731
+            bad_kinds = [
+                (c, str(spd[c].dtype), str(ddf[c].dtype))
+                for c in scols
+                if len(ddf) > 0
+                and kind(spd[c].dtype) != kind(ddf[c].dtype)
+                and {kind(spd[c].dtype), kind(ddf[c].dtype)} - {"O", "b", "i"}
+            ]
+        except Exception:  # noqa: BLE001
+            bad_kinds = []
+        if bad_kinds:
+            print(f"FAIL  {name}: dtype mismatch (driver hash would differ): {bad_kinds}")
             failures += 1
             continue
         if len(srows) != len(drows):
