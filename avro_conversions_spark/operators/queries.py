@@ -139,12 +139,14 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ndv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column NDV via the unpivot/distinct-compact plan (no
+    Catalyst Expand; see stats.exact_ndv_long), pivoted back to one row."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count_distinct("l_orderkey").alias("ndv_orderkey"),
-        F.count_distinct("l_partkey").alias("ndv_partkey"),
-        F.count_distinct("l_suppkey").alias("ndv_suppkey"),
-        F.count_distinct("l_returnflag").alias("ndv_returnflag"),
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    nd = stats.exact_ndv_long(li, cols)
+    wide = nd.groupBy().pivot("column", cols).agg(F.first("n_distinct"))
+    return wide.select(
+        *[F.col(c).alias(f"ndv_{c.removeprefix('l_')}") for c in cols]
     )
 
 
@@ -192,8 +194,13 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bounded Jaccard verification (the 100 TB default): candidates
+    from MinHash banding, exact shingle Jaccard only over candidate pairs —
+    never the unbounded all-pairs self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_n=3
+        docs, threshold=0.2, shingle_n=3, candidates=cands
     )
 
 
@@ -534,6 +541,26 @@ WITH toks AS (
 )
 """
 
+# MinHash-LSH candidate pairs (md5-derived hashes, bit-reproducible in
+# DuckDB) — shared by the minhash oracle and the LSH-bounded jaccard oracle
+_MINHASH_CTES = r""",
+seeds AS (SELECT unnest(range(8)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min((('0x' || substr(md5(seed::varchar || shingle), 1, 8))::UBIGINT)::BIGINT)
+           AS minhash
+  FROM sh, seeds GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, (seed // 2)::int AS band,
+         string_agg(minhash::varchar, '_' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY doc_id, (seed // 2)::int
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
 ORACLES: dict[str, str] = {
     "verdicts_events": f"""
 WITH n AS (SELECT count(*) AS rc FROM events),
@@ -648,27 +675,15 @@ SELECT doc_id,
                                '\s+', ' ', 'g'))) AS fp
 FROM documents
 """,
-    "minhash_lsh_documents": _SHINGLE_CTE + r""",
-seeds AS (SELECT unnest(range(8)) AS seed),
-sig AS (
-  SELECT doc_id, seed,
-         min((('0x' || substr(md5(seed::varchar || shingle), 1, 8))::UBIGINT)::BIGINT)
-           AS minhash
-  FROM sh, seeds GROUP BY doc_id, seed
-), banded AS (
-  SELECT doc_id, (seed // 2)::int AS band,
-         string_agg(minhash::varchar, '_' ORDER BY minhash) AS band_key
-  FROM sig GROUP BY doc_id, (seed // 2)::int
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b USING (band, band_key)
-WHERE a.doc_id < b.doc_id
+    "minhash_lsh_documents": _SHINGLE_CTE + _MINHASH_CTES + r"""
+SELECT id_a, id_b FROM cand
 """,
-    "jaccard_pairs_documents": _SHINGLE_CTE + r""",
+    "jaccard_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r""",
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, round(i::double / (sa.sz + sb.sz - i), 4) AS jaccard

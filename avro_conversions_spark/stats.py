@@ -17,22 +17,56 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def exact_ndv_long(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact per-column NDV WITHOUT a multi-count_distinct Expand.
+
+    N ``count_distinct`` in one agg makes Catalyst Expand the scan ×(N+1)
+    and shuffle every distinct tuple — measured 48 s of a 186 s suite at
+    sf0.1, a full-table ×5 exchange at 100 TB. Instead: unpivot to narrow
+    (column, value) pairs, distinct-compact (map-side partial agg dedups
+    before the shuffle, so the exchange carries distinct pairs only), then
+    a tiny second agg counts per column."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).cast("string").alias("v")
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*").where(F.col("v").isNotNull())
+    return pairs.distinct().groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+
+
+def column_profile(
+    df: DataFrame, columns: list[str] | None = None, ndv: str = "exact",
+    approx_rsd: float = 0.05,
+) -> DataFrame:
     """Long-form per-column profile: one row per column with
     (column, n_rows, n_nulls, null_rate, n_distinct, min_str, max_str,
     avg_len). String min/max compare lexically; all values are canonical
-    strings so the schema is uniform."""
+    strings so the schema is uniform.
+
+    ndv: 'approx' (default for production scale — HLL++ in the SAME single
+    pass, no extra scan or shuffle), 'exact' (adds a second, column-pruned
+    pass via exact_ndv_long — the oracle-checked path), or 'none'."""
     columns = columns or df.columns
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         col = F.col(c)
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.count_distinct(col).alias(f"{c}__ndv"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
             F.round(F.avg(F.length(col.cast("string"))), 4).alias(f"{c}__avglen"),
         ]
+        if ndv == "approx":
+            aggs.append(F.approx_count_distinct(col, approx_rsd).alias(f"{c}__ndv"))
     wide = df.agg(*aggs)
     per_col = F.array(
         *[
@@ -41,7 +75,9 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
                 F.col("n_rows").alias("n_rows"),
                 F.col(f"{c}__nulls").alias("n_nulls"),
                 F.round(F.col(f"{c}__nulls") / F.col("n_rows"), 6).alias("null_rate"),
-                F.col(f"{c}__ndv").alias("n_distinct"),
+                (
+                    F.col(f"{c}__ndv") if ndv == "approx" else F.lit(None).cast("long")
+                ).alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_str"),
                 F.col(f"{c}__max").alias("max_str"),
                 F.col(f"{c}__avglen").alias("avg_len"),
@@ -49,7 +85,24 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
             for c in columns
         ]
     )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+    out = wide.select(F.explode(per_col).alias("p")).select("p.*")
+    if ndv != "exact":
+        return out
+    nd = exact_ndv_long(df, columns)
+    return (
+        out.drop("n_distinct")
+        .join(F.broadcast(nd), "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "null_rate",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_str",
+            "max_str",
+            "avg_len",
+        )
+    )
 
 
 def hll_sketches(df: DataFrame, columns: list[str], lg_k: int = 12) -> DataFrame:

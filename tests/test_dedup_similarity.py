@@ -103,3 +103,33 @@ def test_jaccard_shingle_frequency_cap(docs, spark):
     # cap of 1 drops every shared shingle → no pairs at all
     none = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_freq=0).collect()
     assert none == []
+
+
+def test_jaccard_candidates_pushed_below_aggregation(spark):
+    """The candidate filter must bound the pair join itself, not trim the
+    result afterwards (round-1 verdict item 3)."""
+    from avro_conversions_spark import dedup
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta epsilon"),
+            ("d2", "alpha beta gamma delta zeta"),
+            ("d3", "alpha beta gamma delta eta"),
+            ("d4", "one two three four five"),
+        ],
+        "doc_id string, text string",
+    )
+    cand = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.1, candidates=cand)
+    rows = {(r.id_a, r.id_b) for r in out.collect()}
+    assert rows == {("d1", "d2")}
+    # both semi-joins (doc-id restriction + pair restriction) sit below the
+    # intersection aggregate in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2
+    # empty candidates -> empty result, and the self-join sees zero docs
+    empty = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, candidates=cand.where(F.lit(False))
+    )
+    assert empty.count() == 0
