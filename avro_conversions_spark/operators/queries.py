@@ -344,6 +344,47 @@ def q_resolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(*[p.value() for p in plans])
 
 
+EVENTS_WRITE_JSONSCHEMA = """
+{"$schema": "http://json-schema.org/draft-07/schema#",
+ "title": "EventDoc", "type": "object",
+ "required": ["event_id", "event_type"],
+ "properties": {
+   "event_id":   {"type": "integer", "minimum": 0, "maximum": 9000000000},
+   "user_id":    {"type": ["integer", "null"], "minimum": 0, "maximum": 2000000000},
+   "event_type": {"enum": ["view", "click", "signup", "purchase", "error"]},
+   "value":      {"type": ["number", "null"]}
+ }}
+"""
+
+
+def q_resolve_events_jsonschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema resolution driven by a DECLARED JSON-Schema write schema
+    (the reference's primary constructor path,
+    json/JsonAsAvroParser.java:104-118 + SchemaAnalyzer.java:229-334):
+    plan-time enum-subset and integer bit-size checks come from the
+    document — writer enum includes 'error', read enum does not but has a
+    default, so resolution compiles a runtime substitution; declared
+    integer bounds elect int/long widths."""
+    from avro_conversions_spark.schema import SchemaResolver, from_avsc, to_write_type
+
+    ev = _t(spark, sf_dir, "events")
+    write = to_write_type(EVENTS_WRITE_JSONSCHEMA)
+    read, _ = from_avsc(
+        """
+    {"type":"record","name":"Event","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"user_id","type":["null","int"]},
+      {"name":"event_type","type":{"type":"enum","name":"ET",
+        "symbols":["view","click","signup","purchase"],"default":"view"}},
+      {"name":"value","type":["null","double"]},
+      {"name":"channel","type":"string","default":"web"}
+    ]}
+    """
+    )
+    plans = SchemaResolver(strict_nullability=False).resolve_record(write, read)
+    return ev.select(*[p.value() for p in plans])
+
+
 def q_verdicts_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition verdicts (FIXTURES.md §5 verdict granularity):
     partition_key = event day."""
@@ -520,6 +561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "sessionize_events": q_sessionize_events,
     "resolve_events": q_resolve_events,
+    "resolve_events_jsonschema": q_resolve_events_jsonschema,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
     "top_violations": q_top_violations,
@@ -780,6 +822,16 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """,
     "resolve_events": """
+SELECT event_id,
+       user_id::int AS user_id,
+       CASE WHEN event_type IN ('view','click','signup','purchase')
+            THEN event_type
+            WHEN event_type IS NOT NULL THEN 'view' END AS event_type,
+       value,
+       'web' AS channel
+FROM events
+""",
+    "resolve_events_jsonschema": """
 SELECT event_id,
        user_id::int AS user_id,
        CASE WHEN event_type IN ('view','click','signup','purchase')

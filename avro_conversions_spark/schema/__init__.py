@@ -11,6 +11,14 @@ from avro_conversions_spark.schema.model import (  # noqa: F401
     from_avsc,
     to_spark_type,
 )
+from avro_conversions_spark.schema.json_schema import (  # noqa: F401
+    AnalysisFailure,
+    NumberRange,
+    SchemaProps,
+    infer_read_schema,
+    load_json_schema,
+    to_write_type,
+)
 from avro_conversions_spark.schema.resolution import (  # noqa: F401
     ColumnPlan,
     ResolvingFailure,

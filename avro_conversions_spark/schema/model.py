@@ -150,24 +150,40 @@ def from_avsc(schema: str | dict | list) -> tuple[ReadType, bool]:
     """Parse an Avro schema (JSON string or decoded object) into a
     (ReadType, nullable) pair. Unions other than [null, T] are rejected,
     matching the reference (opwvhk/avro/io/AsAvroParserBase.java:336).
+
+    Named-type references (including recursive ones, e.g. a record field
+    typed by its enclosing record's name) resolve through a names registry,
+    mirroring the reference's memoized resolver compilation
+    (io/AsAvroParserBase.java:355-398; io/DelegatingResolver.java:6-52):
+    records register BEFORE their fields parse, so recursion terminates.
     """
     if isinstance(schema, str) and schema.strip().startswith(("{", "[")):
         schema = json.loads(schema)
-    return _parse(schema)
+    return _parse(schema, {})
 
 
-def _parse(s: Any) -> tuple[ReadType, bool]:
+def _register(names: dict[str, ReadType], s: dict, rt: ReadType) -> None:
+    ns = s.get("namespace")
+    for n in (s["name"], *s.get("aliases", ())):
+        names[n] = rt
+        if ns:
+            names[f"{ns}.{n}"] = rt
+
+
+def _parse(s: Any, names: dict[str, ReadType]) -> tuple[ReadType, bool]:
     if isinstance(s, str):
         if s in _PRIMITIVES:
             if s == "null":
                 raise ValueError("bare null type is not a value type")
             return PrimitiveType(s), False
-        raise ValueError(f"unsupported named type reference {s!r}")
+        if s in names:
+            return names[s], False
+        raise ValueError(f"undefined named type reference {s!r}")
     if isinstance(s, list):  # union
         non_null = [b for b in s if b != "null"]
         if len(non_null) != 1 or len(s) > 2:
             raise ValueError(f"only [null, T] unions supported, got {s!r}")
-        inner, _ = _parse(non_null[0])
+        inner, _ = _parse(non_null[0], names)
         return inner, "null" in s
     if not isinstance(s, dict):
         raise ValueError(f"bad schema node {s!r}")
@@ -181,18 +197,26 @@ def _parse(s: Any) -> tuple[ReadType, bool]:
             return LogicalType(logical), False
         # unknown logical types fall back to the underlying type (Avro spec)
     if t == "enum":
-        return EnumType(s["name"], tuple(s["symbols"]), s.get("default")), False
+        et = EnumType(s["name"], tuple(s["symbols"]), s.get("default"))
+        _register(names, s, et)
+        return et, False
     if t == "fixed":
-        return FixedType(s["name"], int(s["size"])), False
+        ft = FixedType(s["name"], int(s["size"]))
+        _register(names, s, ft)
+        return ft, False
     if t == "array":
-        items, items_nullable = _parse(s["items"])
+        items, items_nullable = _parse(s["items"], names)
         return ArrayType(items, items_nullable), False
     if t == "map":
         raise ValueError("map types are unsupported (reference parity: doc/index.md:71)")
     if t == "record":
+        # register the (empty) record before parsing fields so recursive
+        # references resolve to the same instance
+        rec = RecordType(s["name"], (), s.get("doc"), tuple(s.get("aliases", ())))
+        _register(names, s, rec)
         fields = []
         for fs in s["fields"]:
-            ftype, fnullable = _parse(fs["type"])
+            ftype, fnullable = _parse(fs["type"], names)
             fields.append(
                 Field(
                     name=fs["name"],
@@ -203,9 +227,10 @@ def _parse(s: Any) -> tuple[ReadType, bool]:
                     doc=fs.get("doc"),
                 )
             )
-        return RecordType(s["name"], tuple(fields), s.get("doc"), tuple(s.get("aliases", ()))), False
+        object.__setattr__(rec, "fields", tuple(fields))
+        return rec, False
     if isinstance(t, (str, list, dict)) and t not in ("record", "enum", "fixed", "array", "map"):
-        return _parse(t)
+        return _parse(t, names)
     raise ValueError(f"unsupported schema node {s!r}")
 
 

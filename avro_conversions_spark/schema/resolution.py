@@ -437,18 +437,36 @@ class SchemaResolver:
     to False and enforce non-nullness as a runtime NotNull constraint.
     """
 
-    def __init__(self, strict_nullability: bool = True, trust_reader: bool = False) -> None:
+    def __init__(
+        self,
+        strict_nullability: bool = True,
+        trust_reader: bool = False,
+        allow_missing: set[str] | frozenset[str] = frozenset(),
+    ) -> None:
         self.strict_nullability = strict_nullability
         # trust_reader mirrors the reference's no-write-schema mode
         # (io/AsAvroParserBase.java:400-425): with no declared writer range,
         # narrowing resolves with a *runtime* guard instead of failing the plan.
         self.trust_reader = trust_reader
+        # fieldsAllowedMissing whitelist (io/AsAvroParserBase.java:170,
+        # 203-229) — applies at every record nesting level by field name
+        self.allow_missing = frozenset(allow_missing)
 
     # -- entry points -------------------------------------------------------
 
     def resolve_record(
-        self, write: WriteType | T.StructType, read: RecordType
+        self,
+        write: WriteType | T.StructType,
+        read: RecordType,
+        allow_missing: set[str] | frozenset[str] = frozenset(),
     ) -> list[ColumnPlan]:
+        """``allow_missing``: read fields allowed to be absent from the
+        writer even when required and defaultless — they resolve to null
+        columns instead of failing the plan. Mirrors the reference's
+        fieldsAllowedMissing whitelist (io/AsAvroParserBase.java:170,
+        203-229; json/JsonAsAvroParser.java:118). Note the same caveat:
+        this can yield invalid records until the caller fills the values.
+        """
         if isinstance(write, T.StructType):
             write = from_spark_schema(write)
         if not isinstance(write.dtype, T.StructType):
@@ -476,7 +494,7 @@ class SchemaResolver:
                         )
                     )
                     continue
-                if rf.nullable:
+                if rf.nullable or rf.name in allow_missing or rf.name in self.allow_missing:
                     plans.append(
                         ColumnPlan(
                             name=rf.name,
@@ -830,7 +848,11 @@ class SchemaResolver:
         for rf in r.fields:
             source = next((n for n in rf.match_names() if n in w.fields), None)
             if source is None:
-                if not rf.has_default and not rf.nullable:
+                if (
+                    not rf.has_default
+                    and not rf.nullable
+                    and rf.name not in self.allow_missing
+                ):
                     raise ResolvingFailure(
                         f"required read field {r.name}.{rf.name} has no writer field "
                         "and no default"

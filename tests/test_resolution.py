@@ -221,3 +221,34 @@ def test_trust_reader_runtime_guard():
         S([T.StructField("x", T.LongType())]), read, strict_nullability=False, trust_reader=True
     )
     assert plans[0].converter.violation is not None
+
+
+def test_allow_missing_whitelist():
+    """fieldsAllowedMissing (io/AsAvroParserBase.java:170, 203-229;
+    json/JsonAsAvroParser.java:118): a whitelisted required, defaultless
+    read field absent from the writer resolves to a null column instead of
+    failing the plan — the reference's documented 'may yield invalid
+    records' escape hatch."""
+    read = rec('{"name":"a","type":"int"}, {"name":"b","type":"string"}')
+    write = S([T.StructField("a", T.IntegerType())])
+    # without the whitelist: plan-time failure
+    with pytest.raises(ResolvingFailure, match="no writer field"):
+        resolve(write, read, strict_nullability=False)
+    # with it: b resolves to a null string column
+    plans = SchemaResolver(strict_nullability=False).resolve_record(
+        from_spark_schema(write), read, allow_missing={"b"}
+    )
+    by_name = {p.name: p for p in plans}
+    assert by_name["b"].source is None and by_name["b"].default is None
+    # constructor-level whitelist reaches NESTED records too
+    nested = rec(
+        '{"name":"inner","type":{"type":"record","name":"Inner","fields":['
+        '{"name":"x","type":"int"},{"name":"missing_inner","type":"string"}]}}'
+    )
+    wnested = S([T.StructField("inner", T.StructType([T.StructField("x", T.IntegerType())]))])
+    with pytest.raises(ResolvingFailure):
+        resolve(wnested, nested, strict_nullability=False)
+    plans = SchemaResolver(
+        strict_nullability=False, allow_missing={"missing_inner"}
+    ).resolve_record(from_spark_schema(wnested), nested)
+    assert plans[0].name == "inner"
