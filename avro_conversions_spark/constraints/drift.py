@@ -54,6 +54,23 @@ def quantile_snapshot(
     return wide.select(F.explode(per_col).alias("s")).select("s.*")
 
 
+def tdigest_snapshot(
+    df: DataFrame, columns: list[str], delta: int = 100, n_buckets: int = 64
+) -> DataFrame:
+    """One row per column: (column, means array<double>, weights
+    array<double>) — merged t-digest centroids, the north-star baseline
+    snapshot ("KS-statistic on t-digest quantile sketches"). Unlike GK,
+    t-digest keeps relative accuracy at the tails (q -> 0/1), which is
+    where latency-like drift shows first."""
+    from avro_conversions_spark.functions.tdigest import tdigest_columns
+
+    digests = tdigest_columns(df, columns, delta=delta, n_buckets=n_buckets)
+    rows = [(c, m.tolist(), w.tolist()) for c, (m, w) in digests.items()]
+    return df.sparkSession.createDataFrame(
+        rows, "column string, means array<double>, weights array<double>"
+    )
+
+
 def save_snapshot(snap: DataFrame, path: str) -> None:
     snap.write.mode("overwrite").parquet(path)
 
@@ -78,36 +95,75 @@ def ks_statistic(base_q: list[float], base_p: list[float], cur_q: list[float], c
 
 @dataclass
 class DriftConstraint:
-    """Compare current data against a persisted baseline snapshot."""
+    """Compare current data against a persisted baseline snapshot.
+
+    ``method='tdigest'`` (default, the north-star path): the baseline holds
+    merged t-digest centroids and KS evaluates over the two digests' CDFs
+    driver-side. ``method='gk'`` is the cheap built-in path via
+    percentile_approx quantile grids."""
 
     columns: list[str]
     baseline_path: str
     threshold: float = 0.1
     resolution: int = 200
     name: str = "drift"
+    method: str = "tdigest"  # 'tdigest' | 'gk'
+    delta: int = 100
+    n_buckets: int = 64
 
     def snapshot(self, df: DataFrame) -> DataFrame:
+        if self.method == "tdigest":
+            return tdigest_snapshot(df, self.columns, self.delta, self.n_buckets)
         return quantile_snapshot(df, self.columns, self.resolution)
 
     def check(self, df: DataFrame) -> list[dict]:
         """Returns one verdict dict per column:
         {column, ks, threshold, status}. Sketch reduction is distributed;
-        KS itself runs on the driver over ~2·resolution floats/column."""
+        KS itself runs on the driver over O(delta|resolution) values per
+        column. The snapshot kind is detected from its schema, so a GK
+        baseline keeps working after switching methods."""
         spark = df.sparkSession
-        base = {r["column"]: r for r in load_snapshot(spark, self.baseline_path).collect()}
-        cur = {r["column"]: r for r in self.snapshot(df).collect()}
+        base_df = load_snapshot(spark, self.baseline_path)
+        base_is_digest = "means" in base_df.columns
+        base = {r["column"]: r for r in base_df.collect()}
+        cur_df = (
+            tdigest_snapshot(df, self.columns, self.delta, self.n_buckets)
+            if base_is_digest
+            else quantile_snapshot(df, self.columns, self.resolution)
+        )
+        cur = {r["column"]: r for r in cur_df.collect()}
         out = []
         for c in self.columns:
             b, k = base.get(c), cur.get(c)
-            if b is None or k is None or b["quantiles"] is None or k["quantiles"] is None:
+            if b is None or k is None:
                 out.append(
                     {"column": c, "ks": None, "threshold": self.threshold, "status": "no_baseline"}
                 )
                 continue
-            d = ks_statistic(
-                [q for q in b["quantiles"]], list(b["probs"]),
-                [q for q in k["quantiles"]], list(k["probs"]),
-            )
+            if base_is_digest:
+                import numpy as np
+
+                from avro_conversions_spark.functions.tdigest import ks_from_digests
+
+                d = ks_from_digests(
+                    np.asarray(b["means"]), np.asarray(b["weights"]),
+                    np.asarray(k["means"]), np.asarray(k["weights"]),
+                )
+            else:
+                if b["quantiles"] is None or k["quantiles"] is None:
+                    out.append(
+                        {
+                            "column": c,
+                            "ks": None,
+                            "threshold": self.threshold,
+                            "status": "no_baseline",
+                        }
+                    )
+                    continue
+                d = ks_statistic(
+                    [q for q in b["quantiles"]], list(b["probs"]),
+                    [q for q in k["quantiles"]], list(k["probs"]),
+                )
             out.append(
                 {
                     "column": c,

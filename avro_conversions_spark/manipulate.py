@@ -169,25 +169,98 @@ class SchemaManipulator:
 # --- documentation (M7: AvroSchemaUtils.java:37-100) -----------------------
 
 
-def document_schema_markdown(schema: T.StructType, title: str = "schema") -> str:
-    """Markdown table of (path, type, nullable) rows with the reference's
-    markers: `?` optional, `[]` array (AvroSchemaUtils.java:187-198)."""
-    lines = [f"# {title}", "", "| Field(path) | Type | Documentation |", "|---|---|---|"]
+def truncate(max_length: int, s: str | None) -> str | None:
+    """F11 (util/Utils.java:57-65): truncate with ellipsis, exactly
+    ``max_length`` chars when truncated (diagnostics helper)."""
+    if s is None or len(s) <= max_length:
+        return s
+    return s[: max_length - 1] + "…"
 
-    def walk(dtype: T.DataType, path: str, nullable: bool, meta: dict) -> None:
-        marker = "?" if nullable else ""
-        doc = (meta or {}).get("comment", "")
-        if isinstance(dtype, T.StructType):
-            lines.append(f"| {path or '(root)'} | record{marker} | {doc} |")
-            for f_ in dtype.fields:
-                walk(f_.dataType, f"{path}.{f_.name}" if path else f_.name, f_.nullable, f_.metadata)
-        elif isinstance(dtype, T.ArrayType):
-            lines.append(f"| {path}[] | {dtype.elementType.simpleString()}{marker} | {doc} |")
+
+_MD_HEADER = "| Field(path) | Type | Documentation |\n|-------------|------|---------------|\n"
+
+
+def _md_doc(field_doc: str | None, type_doc: str | None) -> str:
+    parts = [p for p in (field_doc, f"Type: {type_doc}" if type_doc else None) if p]
+    return "\n".join(parts).replace("<", "&lt;").replace("\n", "<br/>")
+
+
+def document_schema_markdown(schema, title: str | None = None) -> str:
+    """Markdown table of (path, type, documentation) rows with the
+    reference's exact header and path markers (AvroSchemaUtils.java:37-100,
+    187-198): ``?`` nullable, ``[]`` array, ``()`` map; logical-type names
+    (``decimal(p,s)``, ``date``, ...); field docs joined with the type's
+    own doc as ``Type: ...``; recursion-safe (a repeated named type prints
+    one row at its second occurrence).
+
+    Accepts a Spark StructType (docs from field metadata 'comment') or a
+    ReadType RecordType (docs from the Avro model)."""
+    from avro_conversions_spark.schema import model as M
+
+    lines = [f"# {title}", "", ""] if title else []
+    out: list[tuple[str, str, str]] = []
+    seen: set[int] = set()
+
+    def type_name(rt) -> str:
+        if isinstance(rt, M.DecimalType):
+            return f"decimal({rt.precision},{rt.scale})"
+        if isinstance(rt, M.LogicalType):
+            return rt.kind
+        if isinstance(rt, M.EnumType):
+            return "enum"
+        if isinstance(rt, M.FixedType):
+            return "fixed"
+        if isinstance(rt, M.PrimitiveType):
+            return rt.kind
+        if isinstance(rt, M.RecordType):
+            return "record"
+        return "?"
+
+    def walk_read(rt, path: str, field_doc: str | None, nullable: bool) -> None:
+        p = path + "?" if nullable else path
+        if isinstance(rt, M.RecordType):
+            out.append((p, "record", _md_doc(field_doc, rt.doc)))
+            if id(rt) in seen:
+                return
+            seen.add(id(rt))
+            prefix = "" if not p else p.rstrip("?") + "."
+            for f_ in rt.fields:
+                walk_read(f_.type, prefix + f_.name, f_.doc, f_.nullable)
+        elif isinstance(rt, M.ArrayType):
+            walk_read(rt.items, p + "[]", field_doc, False)
         else:
-            lines.append(f"| {path} | {dtype.simpleString()}{marker} | {doc} |")
+            out.append((p, type_name(rt), _md_doc(field_doc, None)))
 
-    walk(schema, "", False, {})
-    return "\n".join(lines)
+    def walk_spark(dtype: T.DataType, path: str, doc: str | None, nullable: bool) -> None:
+        p = path + "?" if nullable else path
+        if isinstance(dtype, T.StructType):
+            out.append((p, "record", _md_doc(doc, None)))
+            prefix = "" if not p else p.rstrip("?") + "."
+            for f_ in dtype.fields:
+                walk_spark(
+                    f_.dataType,
+                    prefix + f_.name,
+                    (f_.metadata or {}).get("comment"),
+                    f_.nullable,
+                )
+        elif isinstance(dtype, T.ArrayType):
+            walk_spark(dtype.elementType, p + "[]", doc, False)
+        elif isinstance(dtype, T.MapType):
+            walk_spark(dtype.valueType, p + "()", doc, False)
+        else:
+            name = (
+                f"decimal({dtype.precision},{dtype.scale})"
+                if isinstance(dtype, T.DecimalType)
+                else dtype.simpleString()
+            )
+            out.append((p, name, _md_doc(doc, None)))
+
+    if isinstance(schema, T.StructType):
+        walk_spark(schema, "", None, False)
+    else:
+        walk_read(schema, "", None, False)
+    body = "".join(f"| {p} | {t} | {d} |\n" for p, t, d in out)
+    return "\n".join(lines) + _MD_HEADER + body
 
 
 def validate_unique_names(schema: T.StructType) -> None:

@@ -205,9 +205,10 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicates within SimHash buckets — rows-only."""
+    """Embedding near-duplicates within SimHash buckets — oracle-checked
+    (sign-bit bucketing is SQL-portable)."""
     return dedup.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.5, bits=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, bits=8
     )
 
 
@@ -474,21 +475,23 @@ def q_convert_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drift check (KS over quantile sketches): first half of events as
-    baseline vs full table — rows-only (sketch grids are engine-specific)."""
+    """Drift check per the north star — KS statistic on t-digest quantile
+    sketches vs a persisted baseline of digest centroids. First half of
+    events as baseline vs full table; rows-only (sketch centroids are
+    engine-specific)."""
     import tempfile
 
     from avro_conversions_spark.constraints.drift import (
         DriftConstraint,
-        quantile_snapshot,
         save_snapshot,
+        tdigest_snapshot,
     )
 
     ev = _t(spark, sf_dir, "events")
     half = ev.where(F.col("event_id") % 2 == 0).select("value")
     path = tempfile.mkdtemp() + "/baseline"
-    save_snapshot(quantile_snapshot(half, ["value"]), path)
-    dc = DriftConstraint(["value"], path, threshold=0.1)
+    save_snapshot(tdigest_snapshot(half, ["value"]), path)
+    dc = DriftConstraint(["value"], path, threshold=0.1, method="tdigest")
     rows = dc.check(ev.select("value"))
     return spark.createDataFrame(
         [(r["column"], r["ks"], r["status"]) for r in rows],
@@ -499,10 +502,14 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- transcripts
 
 
+TRANSCRIPTS_ORACLE_PATH = "/tmp/acs_oracle_transcripts"
+
+
 def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship on the synthesized transcript table (sf_dir sets
-    scale only; data is deterministic). Rows-only: table not in the oracle
-    catalog."""
+    scale only; data is deterministic). The table is materialized to a
+    fixed parquet path so the DuckDB oracle validates the exact same rows
+    independently."""
     n_convs = 2000 if "0.1" in sf_dir else 500
     df = transcripts(
         spark,
@@ -510,6 +517,8 @@ def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         turns_per_conv=10,
         corruptions={"role_invalid", "dangling_tool", "dup_key", "ts_regression"},
     )
+    df.write.mode("overwrite").parquet(TRANSCRIPTS_ORACLE_PATH)
+    df = spark.read.parquet(TRANSCRIPTS_ORACLE_PATH)
     eng = ValidationEngine(
         row_constraints=[
             not_null("conv_id"),
@@ -831,6 +840,50 @@ SELECT event_id,
        'web' AS channel
 FROM events
 """,
+    "validate_transcripts": f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_ORACLE_PATH}/*.parquet')),
+n AS (SELECT count(*) AS rc FROM t),
+seq AS (
+  SELECT conv_id, turn_idx, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+  FROM t
+),
+checks AS (
+  SELECT 'not_null(conv_id)' AS check_name,
+         (SELECT count(*) FROM t WHERE conv_id IS NULL) AS violation_count
+  UNION ALL
+  SELECT 'not_null(turn_idx)',
+         (SELECT count(*) FROM t WHERE turn_idx IS NULL)
+  UNION ALL
+  SELECT 'enum(role)',
+         (SELECT count(*) FROM t
+          WHERE role IS NOT NULL
+            AND role NOT IN ('system','user','assistant','tool'))
+  UNION ALL
+  SELECT 'range(turn_idx)',
+         (SELECT count(*) FROM t
+          WHERE turn_idx IS NOT NULL AND (turn_idx < 0 OR turn_idx > 2147483647))
+  UNION ALL
+  SELECT 'unique(conv_id,turn_idx)',
+         (SELECT count(*) FROM (SELECT conv_id, turn_idx FROM t
+                                GROUP BY 1, 2 HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'ref(tool)',
+         (SELECT count(*) FROM t
+          WHERE tool IS NOT NULL
+            AND tool NOT IN ('search','calculator','code_exec','browser','retrieval'))
+  UNION ALL
+  SELECT 'sequence(conv_id,turn_idx)',
+         (SELECT count(*) FILTER (turn_idx != rn)
+               + count(*) FILTER (prev_ts IS NOT NULL AND ts < prev_ts) FROM seq)
+)
+SELECT check_name,
+       CASE WHEN violation_count > 0 THEN 'fail' ELSE 'pass' END AS status,
+       violation_count::BIGINT AS violation_count,
+       (SELECT rc FROM n)::BIGINT AS rows_checked
+FROM checks
+""",
     "resolve_events_jsonschema": """
 SELECT event_id,
        user_id::int AS user_id,
@@ -907,5 +960,17 @@ scored AS (
   FROM scored
 )
 SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+""",
+    "simhash_near_dups": """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_aggregate([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i-1))
+                              ELSE 0 END FOR i IN range(1, 9)], 'sum') AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.2
 """,
 }

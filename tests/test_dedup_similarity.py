@@ -133,3 +133,24 @@ def test_jaccard_candidates_pushed_below_aggregation(spark):
         df, threshold=0.0, candidates=cand.where(F.lit(False))
     )
     assert empty.count() == 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """ann_lsh quality gate: recall@5 against the exact kNN oracle
+    (VERDICT round-1 item 9). Deterministic: seeded hyperplanes + fixed
+    testdata, so the recall value is stable."""
+    from collections import defaultdict
+
+    from avro_conversions_spark import similarity
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    truth, approx = defaultdict(set), defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, k=5).collect():
+        truth[r["qid"]].add(r["nid"])
+    for r in similarity.lsh_topk(emb, q, dim=64, k=5).collect():
+        approx[r["qid"]].add(r["nid"])
+    recalls = [len(truth[k] & approx.get(k, set())) / len(truth[k]) for k in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"ANN recall@5 degraded: {mean_recall:.2f}"

@@ -136,3 +136,39 @@ def test_ledger_rerun_replaces_not_duplicates(spark, tmp_path):
     rv.run(df, "r", verdicts_path=vp, violations_path=xp)
     assert spark.read.parquet(vp).count() == v1
     assert spark.read.parquet(xp).count() == x1
+
+
+def test_tdigest_drift_baseline_and_ks(spark, tmp_path):
+    """North-star wiring: baseline = persisted t-digest centroids, KS over
+    digest CDFs; tolerance-checked against exact quantiles."""
+    import numpy as np
+
+    from avro_conversions_spark.constraints.drift import (
+        DriftConstraint,
+        save_snapshot,
+        tdigest_snapshot,
+    )
+    from avro_conversions_spark.functions.tdigest import digest_quantile
+
+    base = spark.range(20_000).select((F.col("id") % 1000).cast("double").alias("v"))
+    path = str(tmp_path / "td_base")
+    snap = tdigest_snapshot(base, ["v"])
+    save_snapshot(snap, path)
+    # digest quantiles track exact ones (uniform 0..999)
+    row = spark.read.parquet(path).collect()[0]
+    m, w = np.asarray(row["means"]), np.asarray(row["weights"])
+    for q, expect in [(0.25, 249.75), (0.5, 499.5), (0.75, 749.25)]:
+        assert abs(digest_quantile(m, w, q) - expect) < 15, q
+    d = DriftConstraint(["v"], path, threshold=0.05, method="tdigest")
+    same = spark.range(20_000).select((F.col("id") % 1000).cast("double").alias("v"))
+    shifted = spark.range(20_000).select(((F.col("id") % 1000) + 500).cast("double").alias("v"))
+    assert d.check(same)[0]["status"] == "pass"
+    res = d.check(shifted)[0]
+    assert res["status"] == "fail" and res["ks"] > 0.3
+    # GK baselines keep working after the method switch (schema-detected)
+    from avro_conversions_spark.constraints.drift import quantile_snapshot
+
+    gk_path = str(tmp_path / "gk_base")
+    save_snapshot(quantile_snapshot(base, ["v"]), gk_path)
+    d_gk = DriftConstraint(["v"], gk_path, threshold=0.05, method="tdigest")
+    assert d_gk.check(same)[0]["status"] == "pass"

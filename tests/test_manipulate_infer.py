@@ -68,7 +68,34 @@ def test_markdown_doc():
         ]
     )
     md = document_schema_markdown(schema, "t")
-    assert "| a | int |" in md and "| b[] | string? |" in md and "| c.d | bigint? |" in md
+    # reference marker semantics (AvroSchemaUtils.java:72-81): '?' goes on
+    # the PATH of the nullable union, before the '[]' array marker
+    assert "| a | int |" in md and "| b?[] | string |" in md and "| c.d? | bigint |" in md
+    assert "| Field(path) | Type | Documentation |" in md
+
+
+def test_markdown_doc_readtype_reference_fidelity():
+    """M7 full fidelity: logical-type names, field docs + 'Type:' record
+    docs, map marker, recursion-safe named-type reuse."""
+    from avro_conversions_spark.manipulate import truncate
+    from avro_conversions_spark.schema import from_avsc
+
+    rt, _ = from_avsc(
+        """
+    {"type":"record","name":"Conv","doc":"A conversation","fields":[
+      {"name":"when","type":{"type":"int","logicalType":"date"},"doc":"start <day>"},
+      {"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":6,"scale":2}},
+      {"name":"next","type":["null","Conv"],"default":null}
+    ]}"""
+    )
+    md = document_schema_markdown(rt)
+    assert md.startswith("| Field(path) | Type | Documentation |\n|---")
+    assert "|  | record | Type: A conversation |" in md
+    assert "| when | date | start &lt;day> |" in md
+    assert "| amount | decimal(6,2) |" in md
+    # recursive reuse prints one row, no infinite walk
+    assert md.count("| next? | record |") == 1
+    assert truncate(5, "abcdefg") == "abcd…" and truncate(5, "abc") == "abc"
 
 
 def test_unique_name_validation():
