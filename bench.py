@@ -46,6 +46,8 @@ HEADLINE = [
     "repair_events",
     "convert_dates",
     "drift_events",
+    "resolve_events_jsonschema",
+    "ndv_lineitem",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
