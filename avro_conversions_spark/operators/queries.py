@@ -9,9 +9,12 @@ Conventions:
   is stable across engines;
 - the verdict column is named ``check_name`` (``constraint`` is reserved
   in SQL);
-- queries with no SQL-expressible oracle (HLL sketches, LSH ANN,
-  synthesized transcripts) are in QUERIES but not ORACLES → the driver
-  records a rows-only check.
+- three queries have no SQL-expressible oracle, each inherently:
+  hll_ndv_lineitem (HLL estimates are engine-specific), ann_lsh (seeded
+  hyperplanes not SQL-portable; recall@5-gated against exact kNN in
+  pytest), drift_events (t-digest centroids are engine-specific; KS
+  tolerance-gated in pytest). They are in QUERIES but not ORACLES → the
+  driver records a rows-only check.
 """
 
 from __future__ import annotations
@@ -386,6 +389,59 @@ def q_resolve_events_jsonschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(*[p.value() for p in plans])
 
 
+def q_parse_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 as a driver query: events serialized to JSON documents, parsed
+    back through the tokenizer + resolver (enum default substitution on the
+    way). Oracle = the equivalent straight projection."""
+    from avro_conversions_spark.schema import from_avsc
+    from avro_conversions_spark.sources.documents import parse_json_column
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("doc")
+    )
+    read, _ = from_avsc(
+        """
+    {"type":"record","name":"E","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"event_type","type":{"type":"enum","name":"ET",
+        "symbols":["view","click","signup","purchase"],"default":"view"}},
+      {"name":"value","type":["null","double"]}
+    ]}"""
+    )
+    out = parse_json_column(docs, "doc", read)
+    return out.select("event_id", "event_type", "value")
+
+
+def q_parse_xml_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a driver query: lineitem rows serialized to XML documents,
+    parsed via from_xml + resolver (string -> long/int/decimal runtime
+    conversions). Oracle = the straight projection with the same casts."""
+    from avro_conversions_spark.schema import from_avsc
+    from avro_conversions_spark.sources.documents import parse_xml_column
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    docs = li.select(
+        F.concat(
+            F.lit("<li><k>"), F.col("l_orderkey"),
+            F.lit("</k><n>"), F.col("l_linenumber"),
+            F.lit("</n><q>"), F.col("l_quantity"),
+            F.lit("</q></li>"),
+        ).alias("doc")
+    )
+    read, _ = from_avsc(
+        """
+    {"type":"record","name":"Li","fields":[
+      {"name":"k","type":"long"},
+      {"name":"n","type":"int"},
+      {"name":"q","type":{"type":"bytes","logicalType":"decimal",
+        "precision":12,"scale":2}}
+    ]}"""
+    )
+    out = parse_xml_column(docs, "doc", read)
+    return out.select("k", "n", F.col("q").cast("string").alias("q_str"))
+
+
 def q_verdicts_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition verdicts (FIXTURES.md §5 verdict granularity):
     partition_key = event day."""
@@ -571,6 +627,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "resolve_events": q_resolve_events,
     "resolve_events_jsonschema": q_resolve_events_jsonschema,
+    "parse_json_events": q_parse_json_events,
+    "parse_xml_lineitem": q_parse_xml_lineitem,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
     "top_violations": q_top_violations,
@@ -893,6 +951,19 @@ SELECT event_id,
        value,
        'web' AS channel
 FROM events
+""",
+    "parse_json_events": """
+SELECT event_id,
+       CASE WHEN event_type IN ('view','click','signup','purchase')
+            THEN event_type
+            WHEN event_type IS NOT NULL THEN 'view' END AS event_type,
+       value
+FROM events
+""",
+    "parse_xml_lineitem": """
+SELECT l_orderkey AS k, l_linenumber AS n,
+       l_quantity::DECIMAL(12,2)::VARCHAR AS q_str
+FROM lineitem WHERE l_orderkey % 10 = 0
 """,
     "verdicts_partitioned": f"""
 WITH days AS (

@@ -19,6 +19,11 @@ from avro_conversions_spark.schema.json_schema import (  # noqa: F401
     load_json_schema,
     to_write_type,
 )
+from avro_conversions_spark.schema.xsd import (  # noqa: F401
+    XsdAnalyzer,
+    infer_read_schema_from_xsd,
+    xsd_to_write_type,
+)
 from avro_conversions_spark.schema.resolution import (  # noqa: F401
     ColumnPlan,
     ResolvingFailure,

@@ -559,10 +559,15 @@ class SchemaResolver:
                 lambda w, r: isinstance(w.dtype, T.MapType),
                 self._fail("map writer types are unsupported (doc/index.md:71)"),
             ),
-            # R1/R21/R33: numeric/string → decimal(p,s) with precision check
+            # R1/R21/R33: numeric/string → decimal(p,s) with precision check.
+            # Textual decimals only in trust-reader mode — the declared JSON
+            # rule is number→decimal (json/JsonAsAvroParser.java:77-82, 157)
             (
                 lambda w, r: isinstance(r, DecimalType)
-                and (_is_numeric(w.dtype) or isinstance(w.dtype, T.StringType)),
+                and (
+                    _is_numeric(w.dtype)
+                    or (self.trust_reader and isinstance(w.dtype, T.StringType))
+                ),
                 self._build_decimal,
             ),
             # R2/R23/R34: date
@@ -598,9 +603,16 @@ class SchemaResolver:
                 and (
                     _is_integral(w.dtype)
                     or isinstance(w.dtype, T.DecimalType)
-                    # textual numbers — but NOT declared enums (ChoiceAsInt
-                    # must fail: JsonAsAvroParserTest.java:84)
-                    or (isinstance(w.dtype, T.StringType) and w.symbols is None)
+                    # textual numbers ONLY in trust-reader (tokenizer) mode —
+                    # a DECLARED string writer cannot resolve to a number
+                    # (JSON rules accept number→int, json/JsonAsAvroParser.
+                    # java:174-175, never string); and NOT declared enums
+                    # (ChoiceAsInt must fail: JsonAsAvroParserTest.java:84)
+                    or (
+                        self.trust_reader
+                        and isinstance(w.dtype, T.StringType)
+                        and w.symbols is None
+                    )
                 ),
                 self._build_int,
             ),
@@ -610,14 +622,24 @@ class SchemaResolver:
                 and r.kind in ("float", "double")
                 and (
                     _is_numeric(w.dtype)
-                    or (isinstance(w.dtype, T.StringType) and w.symbols is None)
+                    or (
+                        self.trust_reader
+                        and isinstance(w.dtype, T.StringType)
+                        and w.symbols is None
+                    )
                 ),
                 self._build_float,
             ),
             (
                 lambda w, r: isinstance(r, PrimitiveType)
                 and r.kind == "boolean"
-                and isinstance(w.dtype, (T.BooleanType, T.StringType)),
+                and (
+                    isinstance(w.dtype, T.BooleanType)
+                    # text → boolean only without a declared write schema
+                    # (reference base rule io/AsAvroParserBase.java:326 vs
+                    # JSON rule :171 which requires a boolean writer)
+                    or (self.trust_reader and isinstance(w.dtype, T.StringType))
+                ),
                 self._build_boolean,
             ),
             # identity date/timestamp writers
@@ -645,6 +667,16 @@ class SchemaResolver:
                 and len(w.fields) == 1
                 and isinstance(next(iter(w.fields.values())).dtype, T.ArrayType),
                 self._build_unwrap_array,
+            ),
+            # R36 (record case): a single record value readable as an array
+            # of records (xml/XmlAsAvroParser.java:226-253 — the reference's
+            # 'upgrade' fixture: optional struct element vs read array<pair>).
+            # Ordered AFTER R37 so wrapper structs prefer the unwrap.
+            (
+                lambda w, r: isinstance(r, ArrayType)
+                and isinstance(r.items, RecordType)
+                and isinstance(w.dtype, T.StructType),
+                self._build_wrap_array,
             ),
             # R19/R28/R30: nested records
             (
@@ -689,6 +721,11 @@ class SchemaResolver:
         if isinstance(w.dtype, T.StringType):
             if w.format is not None and w.format != "date":
                 raise ResolvingFailure(f"string format {w.format!r} is not a date")
+            if w.format is None and not self.trust_reader:
+                # declared-writer mode requires the format declaration
+                # (json/JsonAsAvroParser.java:158-166); bare text parses as a
+                # date only in trust-reader mode (io/AsAvroParserBase.java:318)
+                raise ResolvingFailure("string without format 'date' cannot resolve to date")
             return _date_conv()
         if isinstance(w.dtype, (T.TimestampType, T.TimestampNTZType)):
             return _cast_conv(T.DateType())
@@ -700,6 +737,8 @@ class SchemaResolver:
         if isinstance(w.dtype, T.StringType):
             if w.format is not None and w.format != "time":
                 raise ResolvingFailure(f"string format {w.format!r} is not a time")
+            if w.format is None and not self.trust_reader:
+                raise ResolvingFailure("string without format 'time' cannot resolve to time")
             return _time_conv(micros=r.kind.endswith("micros"))
         return _cast_conv(T.LongType())
 
@@ -710,6 +749,10 @@ class SchemaResolver:
         if isinstance(w.dtype, T.StringType):
             if w.format is not None and w.format not in ("date-time", "local-date-time"):
                 raise ResolvingFailure(f"string format {w.format!r} is not a date-time")
+            if w.format is None and not self.trust_reader:
+                raise ResolvingFailure(
+                    "string without format 'date-time' cannot resolve to timestamp"
+                )
             return _timestamp_conv(ntz)
         raise ResolvingFailure(f"{w.dtype.simpleString()} cannot resolve to {r.kind}")
 

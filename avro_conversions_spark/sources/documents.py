@@ -196,12 +196,25 @@ def parse_xml_column(
     natively; repeated elements map to arrays in the tokenizer schema, the
     cardinality rules (R36) are enforced by the resolver."""
     tok_schema = _tokenizer_schema(read)
-    parsed = F.from_xml(F.col(xml_col), tok_schema)
+    # PERMISSIVE + corrupt-record column: a document that is not XML at all
+    # must flag _corrupt (the reference raises SAXException per document,
+    # xml/XmlResolvingTest.java:163-212 — V9 turns that into a row flag);
+    # from_xml alone returns a null-filled struct, not null
+    tok_with_corrupt = T.StructType(
+        list(tok_schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = F.from_xml(
+        F.col(xml_col),
+        tok_with_corrupt,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
     staged = df.select(
         *(keep_cols or []), F.col(xml_col).alias("_raw"), parsed.alias("_doc")
     )
     staged = staged.withColumn(
-        "_corrupt", F.col("_raw").isNotNull() & F.col("_doc").isNull()
+        "_corrupt",
+        F.col("_raw").isNotNull()
+        & (F.col("_doc").isNull() | F.col("_doc._corrupt_record").isNotNull()),
     )
     flat = staged.select(
         *(keep_cols or []),

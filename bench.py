@@ -48,6 +48,8 @@ HEADLINE = [
     "drift_events",
     "resolve_events_jsonschema",
     "ndv_lineitem",
+    "parse_json_events",
+    "parse_xml_lineitem",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

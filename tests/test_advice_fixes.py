@@ -55,7 +55,9 @@ def test_resolver_decimal_exact_double_scientific(spark):
 
 
 def test_resolver_decimal_p_eq_s_string(spark):
-    conv = SchemaResolver(strict_nullability=False).resolve(
+    # textual decimals resolve in trust-reader (tokenizer) mode; a DECLARED
+    # string writer no longer resolves to decimal (reference R21 parity)
+    conv = SchemaResolver(strict_nullability=False, trust_reader=True).resolve(
         WriteType(T.StringType()), ReadDecimal(2, 2)
     )
     df = spark.createDataFrame([("0.37",), ("1.2",)], "x string")

@@ -152,3 +152,22 @@ def test_iceberg_binding_probe(spark, tmp_path):
     led = IcebergLedger(spark, "local.db.acs_watermarks")
     led.commit("r1", "0", 10, "engine=test")
     assert led.completed("r1") == {"0"}
+
+
+def test_xml_corrupt_document_flagged(spark):
+    """A document that is not XML at all must flag _corrupt (the reference
+    raises SAXException per document; V9 turns that into a row flag) —
+    from_xml alone yields a null-filled struct, so the corrupt-record
+    column is required."""
+    from avro_conversions_spark.schema import from_avsc
+    from avro_conversions_spark.sources.documents import parse_xml_column
+
+    docs = spark.createDataFrame(
+        [("<r><x>12</x></r>",), ("<r><x>oops</x></r>",), ("not xml",)], "doc string"
+    )
+    read, _ = from_avsc(
+        '{"type":"record","name":"R","fields":[{"name":"x","type":["null","int"]}]}'
+    )
+    rows = parse_xml_column(docs, "doc", read).collect()
+    assert [r._corrupt for r in rows] == [False, False, True]
+    assert rows[1]._violations[0].reason == "INVALID_INTEGER"

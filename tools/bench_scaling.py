@@ -134,8 +134,16 @@ def main() -> None:
         print(json.dumps(run_at(par, n_rows)))
         return
 
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    n = generate(n_convs)
+    args = [a for a in sys.argv[1:] if a != "--reuse"]
+    n_convs = int(args[0]) if args else 4_000_000
+    if "--reuse" in sys.argv and os.path.exists(DATA):
+        # reuse the staged table (deterministic generator, same n_convs):
+        # lets a re-measure batch start the moment a clean host window opens
+        spark = get_spark(app_name="count", master="local[8]")
+        n = spark.read.parquet(DATA).count()
+        spark.stop()
+    else:
+        n = generate(n_convs)
 
     def one(par: int) -> dict:
         out = subprocess.run(

@@ -73,12 +73,15 @@ def main() -> None:
         try:
             spd = sdf.limit(1).toPandas()
             kind = lambda d: {"u": "i"}.get(d.kind, d.kind)  # noqa: E731
+            # int-vs-float is the proven driver-visible divergence (DuckDB
+            # HUGEINT -> pandas float64); date-object vs datetime64 pairs
+            # hash identically in the driver (round-1 evidence: pivot_events
+            # / convert_dates passed), so only numeric-kind splits flag
             bad_kinds = [
                 (c, str(spd[c].dtype), str(ddf[c].dtype))
                 for c in scols
                 if len(ddf) > 0
-                and kind(spd[c].dtype) != kind(ddf[c].dtype)
-                and {kind(spd[c].dtype), kind(ddf[c].dtype)} - {"O", "b", "i"}
+                and {kind(spd[c].dtype), kind(ddf[c].dtype)} == {"i", "f"}
             ]
         except Exception:  # noqa: BLE001
             bad_kinds = []
