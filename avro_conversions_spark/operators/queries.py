@@ -253,10 +253,21 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — rows-only (hyperplane seeds not SQL-portable)."""
+    """LSH-bucketed ANN — rows-only (hyperplane seeds not SQL-portable);
+    recall@5 vs exact kNN gated in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded coarse k-means cells, probe-limited
+    scan. Run here with n_probe = n_lists, which degenerates to exact
+    search — so the kNN SQL is a true oracle; the approximate mode
+    (n_probe < n_lists) is recall-gated in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
 
 
 def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "cube_lineitem": q_cube_lineitem,
     "semi_join_orders": q_semi_join_orders,
     "corr_stats_lineitem": q_corr_stats_lineitem,
@@ -1020,6 +1032,19 @@ FROM events
 SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem
 """,
     "knn_bruteforce": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM q, embeddings c WHERE c.vec_id != q.qid
+), ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+""",
+    "ann_ivf": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT q.qid, c.vec_id AS nid,

@@ -73,6 +73,86 @@ def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, see
     return df.withColumn("sig", F.concat(*bits))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer (pyspark.ml,
+    seeded → deterministic) partitions the corpus into ``n_lists`` cells;
+    each query scans only its ``n_probe`` nearest cells. The 100 TB shape:
+    the quantizer trains ONCE on a sample, cell assignment is a single
+    narrow pass persisted alongside the corpus, and the probe join touches
+    n_probe/n_lists of the data — versus lsh_topk's banded signatures,
+    IVF adapts to the data distribution (cells follow density).
+
+    Returns (qid, rank, nid, cos) like brute_force_topk/lsh_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c_feat = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        array_to_vector(to_double(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||")
+    model = km.fit(c_feat.select("features"))
+    assigned = model.transform(c_feat).select(
+        "nid", "nvec", F.col("prediction").alias("cell")
+    )
+
+    # query-side probe list: distances to the (tiny, driver-held) centroid
+    # set as a literal array — no join against the model needed
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+
+    def dist2(q: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q_feat = queries.select(
+        F.col(id_col).alias("qid"), to_double(F.col(vec_col)).alias("qvec")
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c, i: F.struct(
+                    dist2(F.col("qvec"), c).alias("d"), i.alias("cell")
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probes = q_feat.select(
+        "qid", "qvec", F.explode(ranked_cells).alias("p")
+    ).select("qid", "qvec", F.col("p.cell").alias("cell"))
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

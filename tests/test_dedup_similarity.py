@@ -154,3 +154,30 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     recalls = [len(truth[k] & approx.get(k, set())) / len(truth[k]) for k in truth]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"ANN recall@5 degraded: {mean_recall:.2f}"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF (inverted-file, seeded coarse k-means) ANN quality gate: with
+    n_probe=n_lists it degenerates to exact search; at n_probe<n_lists
+    recall@5 against the kNN oracle stays high."""
+    from collections import defaultdict
+
+    from avro_conversions_spark import similarity
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    truth = defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, k=5).collect():
+        truth[r["qid"]].add(r["nid"])
+    # full probe = exact
+    full = defaultdict(set)
+    for r in similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=8).collect():
+        full[r["qid"]].add(r["nid"])
+    assert full == dict(truth)
+    # partial probe: bounded scan, high recall
+    approx = defaultdict(set)
+    for r in similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=3).collect():
+        approx[r["qid"]].add(r["nid"])
+    recalls = [len(truth[k] & approx.get(k, set())) / len(truth[k]) for k in truth]
+    assert sum(recalls) / len(recalls) >= 0.5
