@@ -89,6 +89,39 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def kgram_hashes(text: Column, k: int = 8) -> Column:
+    """Rolling character k-gram hashes: H(i) = hash(substr(text, i, k)) for
+    every position. md5-derived 32-bit values so the DuckDB oracle can
+    reproduce them bit-for-bit; production swaps to xxhash64 like the
+    MinHash path (dedup.py:15-18). Pure higher-order-function expression —
+    O(len) per document, JVM-side."""
+    n = F.greatest(F.length(text) - k + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(F.md5(text.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+
+
+def winnowed_fingerprints(grams: Column, w: int = 4) -> Column:
+    """Winnowing (the MOSS scheme): minimum hash of every window of ``w``
+    consecutive k-gram hashes, deduplicated and sorted. Guarantees any
+    shared substring of length >= k + w - 1 yields a shared fingerprint —
+    the rolling-hash document-fingerprinting primitive. Pass an
+    ALREADY-MATERIALIZED gram-array column (Spark does not CSE across
+    lambda boundaries; see shingles_from_tokens)."""
+    n_win = F.greatest(F.size(grams) - w + 1, F.lit(1))
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        )
+    )
+
+
 def shingles_from_tokens(t: Column, n: int = 3) -> Column:
     """Distinct n-word shingles from an ALREADY-MATERIALIZED token-array
     column. Pass a real column (not an inline split() expression): each

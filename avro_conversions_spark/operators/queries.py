@@ -229,6 +229,18 @@ def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing/MOSS): character
+    k-gram rolling hashes -> window minima -> distinct fingerprints per
+    doc. Shared substrings >= k+w-1 chars guarantee shared fingerprints."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    staged = docs.select("doc_id", TXT.kgram_hashes(F.col("text"), k=8).alias("_g"))
+    fps = staged.select(
+        "doc_id", TXT.winnowed_fingerprints(F.col("_g"), w=4).alias("_fps")
+    )
+    return fps.select("doc_id", F.explode("_fps").alias("fp"))
+
+
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -627,6 +639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "simhash_near_dups": q_simhash_near_dups,
     "token_stats_documents": q_token_stats_documents,
+    "winnow_documents": q_winnow_documents,
     "langid_documents": q_langid_documents,
     "quality_documents": q_quality_documents,
     "knn_bruteforce": q_knn_bruteforce,
@@ -820,6 +833,20 @@ SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
        round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
              / len(toks), 4) AS avg_token_len
 FROM t
+""",
+    "winnow_documents": """
+WITH g AS (
+  SELECT doc_id,
+         [ (('0x' || substr(md5(text[i:i+7]), 1, 8))::UBIGINT)::BIGINT
+           FOR i IN range(1, greatest(length(text) - 7, 1) + 1) ] AS grams
+  FROM documents WHERE doc_id < 50
+), w AS (
+  SELECT doc_id,
+         list_sort(list_distinct([ list_aggregate(grams[j:j+3], 'min')
+           FOR j IN range(1, greatest(len(grams) - 3, 1) + 1) ])) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM w
 """,
     "langid_documents": rf"""
 WITH s AS (

@@ -156,3 +156,30 @@ def test_cosine(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<float>, b array<float>")
     rows = df.select(F.round(V.cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()
     assert rows[0].c == 0.0 and rows[1].c == 1.0
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint texts don't."""
+    from pyspark.sql import functions as F
+
+    from avro_conversions_spark.functions.text import kgram_hashes, winnowed_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " BBB"),
+            (2, "CCCCC " + shared + " DDDDD"),
+            (3, "completely different words here entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    staged = df.select("doc_id", kgram_hashes(F.col("text"), k=8).alias("g"))
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in staged.select(
+            "doc_id", winnowed_fingerprints(F.col("g"), w=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must yield shared fingerprints"
+    assert not (fps[1] & fps[3])
