@@ -32,6 +32,20 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# BPE-style pretokenizer (simplified GPT-2 shape, engine-portable): letter
+# runs, digit runs, and single non-alphanumeric marks each count as one
+# pretoken — the unit BPE merges operate on. Kept regex-portable so the
+# DuckDB oracle reproduces counts exactly.
+BPE_PRETOKEN_RX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE pretoken count (task brief: 'token counting —
+    whitespace + a BPE-ish regex'). An upper-bound proxy for LLM token
+    budgets that needs no vocab file; JVM-side regexp_count."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RX))
+
+
 def avg_token_len(text: Column) -> Column:
     """Mean token length — a cheap quality signal."""
     t = tokens(text)

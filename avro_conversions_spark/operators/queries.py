@@ -224,6 +224,7 @@ def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TXT.token_count(t).alias("n_tokens"),
+        TXT.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
         TXT.char_count(t).alias("n_chars"),
         F.round(TXT.avg_token_len(t), 4).alias("avg_token_len"),
     )
@@ -829,7 +830,10 @@ WHERE round(i::double / (sa.sz + sb.sz - i), 4) >= 0.2
     "token_stats_documents": r"""
 WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
            FROM documents)
-SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+SELECT doc_id, len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT
+         AS n_bpe_tokens,
+       length(text) AS n_chars,
        round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
              / len(toks), 4) AS avg_token_len
 FROM t
