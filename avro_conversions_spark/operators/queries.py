@@ -466,6 +466,51 @@ def q_parse_xml_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("k", "n", F.col("q").cast("string").alias("q_str"))
 
 
+def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming as a driver query: a REAL Structured Streaming run —
+    file source over the events parquet, the batch row constraints applied
+    verbatim to the stream, watermarked tumbling-window violation counts,
+    availableNow trigger into a memory sink. Oracle = the batch SQL
+    equivalent (hourly windows align to epoch)."""
+    import uuid
+
+    from avro_conversions_spark.streaming.validate import windowed_violation_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source takes a directory; glob down to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # event-time watermarks require TIMESTAMP (not NTZ); session TZ is UTC,
+    # so the cast is value-preserving and oracle-safe
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = windowed_violation_counts(
+        stream,
+        [enum_in("event_type", EVENT_TYPES_OK), not_null("user_id")],
+        window="1 hour",
+        watermark="1 hour",
+        ts_col="ts",
+        key_cols=("event_id",),
+    )
+    name = f"stream_viol_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "window_end",
+        F.col("constraint").alias("check_name"),
+        "violation_count",
+    )
+
+
 def q_verdicts_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition verdicts (FIXTURES.md §5 verdict granularity):
     partition_key = event day."""
@@ -655,6 +700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolve_events_jsonschema": q_resolve_events_jsonschema,
     "parse_json_events": q_parse_json_events,
     "parse_xml_lineitem": q_parse_xml_lineitem,
+    "stream_windowed_violations": q_stream_windowed_violations,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
     "top_violations": q_top_violations,
@@ -1007,6 +1053,20 @@ FROM events
 SELECT l_orderkey AS k, l_linenumber AS n,
        l_quantity::DECIMAL(12,2)::VARCHAR AS q_str
 FROM lineitem WHERE l_orderkey % 10 = 0
+""",
+    "stream_windowed_violations": f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       'enum(event_type)' AS check_name,
+       count(*)::BIGINT AS violation_count
+FROM events
+WHERE event_type IS NOT NULL AND event_type NOT IN {tuple(EVENT_TYPES_OK)!r}
+GROUP BY 1, 2
+UNION ALL
+SELECT date_trunc('hour', ts), date_trunc('hour', ts) + INTERVAL 1 HOUR,
+       'not_null(user_id)', count(*)::BIGINT
+FROM events WHERE user_id IS NULL
+GROUP BY 1, 2
 """,
     "verdicts_partitioned": f"""
 WITH days AS (
