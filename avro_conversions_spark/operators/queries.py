@@ -511,6 +511,49 @@ def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STATEFUL_ORACLE_PATH = "/tmp/acs_oracle_stateful"
+
+
+def q_stateful_stream_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator as a driver query: the
+    applyInPandasWithState per-conversation validator over a corrupted
+    transcript stream (availableNow, single micro-batch -> deterministic
+    incremental semantics). The input is materialized to parquet so the
+    DuckDB oracle replays the same incremental logic as a running-max
+    window (duplicate / noncontiguous / ts-regression turns)."""
+    import uuid
+
+    from avro_conversions_spark.streaming.stateful import stateful_sequence_violations
+
+    n_convs = 1000 if "0.1" in sf_dir else 300
+    df = transcripts(
+        spark,
+        n_convs=n_convs,
+        turns_per_conv=10,
+        corruptions={"dup_key", "gap_turn_idx", "ts_regression"},
+    ).select("conv_id", "turn_idx", "ts")
+    # one file -> one micro-batch -> each conversation arrives whole
+    df.coalesce(1).write.mode("overwrite").parquet(STATEFUL_ORACLE_PATH)
+    schema = spark.read.parquet(STATEFUL_ORACLE_PATH).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(STATEFUL_ORACLE_PATH)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # NoTimeout for the bounded replay (see stateful_sequence_violations)
+    out = stateful_sequence_violations(stream, idle_timeout_ms=None)
+    name = f"stateful_viol_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_verdicts_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition verdicts (FIXTURES.md §5 verdict granularity):
     partition_key = event day."""
@@ -701,6 +744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_json_events": q_parse_json_events,
     "parse_xml_lineitem": q_parse_xml_lineitem,
     "stream_windowed_violations": q_stream_windowed_violations,
+    "stateful_stream_transcripts": q_stateful_stream_transcripts,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
     "top_violations": q_top_violations,
@@ -1053,6 +1097,28 @@ FROM events
 SELECT l_orderkey AS k, l_linenumber AS n,
        l_quantity::DECIMAL(12,2)::VARCHAR AS q_str
 FROM lineitem WHERE l_orderkey % 10 = 0
+""",
+    "stateful_stream_transcripts": f"""
+WITH t AS (SELECT * FROM read_parquet('{STATEFUL_ORACLE_PATH}/*.parquet')),
+o AS (
+  SELECT conv_id, turn_idx, ts,
+         max(turn_idx) OVER w AS prev_max,
+         max(ts) OVER w AS prev_max_ts
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, 'DUPLICATE_TURN' AS reason,
+       'max_seen=' || prev_max::VARCHAR AS observed
+FROM o WHERE prev_max IS NOT NULL AND turn_idx <= prev_max
+UNION ALL
+SELECT conv_id, turn_idx, 'NONCONTIGUOUS_TURN_IDX',
+       turn_idx::VARCHAR || '!=' || (coalesce(prev_max, -1) + 1)::VARCHAR
+FROM o WHERE turn_idx > coalesce(prev_max, -1)
+         AND turn_idx != coalesce(prev_max, -1) + 1
+UNION ALL
+SELECT conv_id, turn_idx, 'TS_REGRESSION', ts::VARCHAR
+FROM o WHERE prev_max_ts IS NOT NULL AND ts < prev_max_ts
 """,
     "stream_windowed_violations": f"""
 SELECT date_trunc('hour', ts) AS window_start,

@@ -46,7 +46,10 @@ STATE_SCHEMA = T.StructType(
 
 
 def _validate_conversation(
-    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: Tuple[str],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int | None = 3600 * 1000,
 ) -> Iterator[pd.DataFrame]:
     conv_id = key[0]
     if state.hasTimedOut:
@@ -71,22 +74,39 @@ def _validate_conversation(
             last_ts_us = max(last_ts_us, ts_us)
             n_turns += 1
     state.update((max_idx, last_ts_us, n_turns))
-    # idle conversations expire after 1h of no traffic → bounded state
-    state.setTimeoutDuration(3600 * 1000)
+    if idle_timeout_ms is not None:
+        # idle conversations expire after the timeout → bounded state
+        state.setTimeoutDuration(idle_timeout_ms)
     if out:
         yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "reason", "observed"])
 
 
-def stateful_sequence_violations(stream: DataFrame) -> DataFrame:
+def stateful_sequence_violations(
+    stream: DataFrame, idle_timeout_ms: int | None = 3600 * 1000
+) -> DataFrame:
     """Apply the per-conversation stateful validator to a streaming
-    DataFrame with (conv_id, turn_idx, ts)."""
+    DataFrame with (conv_id, turn_idx, ts).
+
+    ``idle_timeout_ms=None`` disables state expiry — REQUIRED for bounded
+    availableNow replays: with a processing-time timeout registered, Spark
+    keeps scheduling micro-batches until every state entry expires, so the
+    'finite' run never terminates. Live (continuous) streams keep the
+    timeout so the state store tracks only active conversations."""
+
+    def fn(key, pdfs, state):
+        return _validate_conversation(key, pdfs, state, idle_timeout_ms)
+
     return (
         stream.groupBy("conv_id")
         .applyInPandasWithState(
-            _validate_conversation,
+            fn,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
