@@ -172,7 +172,10 @@ def decimal_fits(
         column=column,
         reason="DECIMAL_OUT_OF_RANGE",
         predicate=lambda c: c.isNotNull()
-        & ~(c.cast("string").rlike(rx) | decimal_roundtrip_ok(c, precision, scale)),
+        & ~(
+            c.cast("string").rlike(rx)
+            | decimal_roundtrip_ok(c, precision, scale, from_string=True)
+        ),
     )
 
 

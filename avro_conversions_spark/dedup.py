@@ -148,7 +148,8 @@ def ngram_jaccard_pairs(
     happens for non-candidates (round-1 verdict: filtering after the
     aggregation bounded nothing).
     """
-    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    sh_all = doc_shingles(df, text_col, id_col, shingle_n)
+    sh = sh_all
     cand = None
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
@@ -161,7 +162,11 @@ def ngram_jaccard_pairs(
         # are unaffected by dropping other docs)
         sh = sh.join(cand_ids, id_col, "left_semi")
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # document frequency is CORPUS-wide (computed on the unfiltered
+        # shingle frame): a stop-shingle's corpus frequency is what makes
+        # it a blow-up hazard, and the cap's semantics must not change
+        # when a candidate set narrows the docs entering the join
+        freq = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         keep = freq.where(F.col("_df") <= max_shingle_freq).select("shingle")
         sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -201,23 +206,56 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     bits: int = 12,
+    max_bucket: int = 1_000,
 ) -> DataFrame:
     """Cosine near-duplicates verified within SimHash buckets:
-    (id_a, id_b, cos). Bucketing bounds the pair join; at 100 TB increase
-    ``bits`` so buckets stay small."""
+    (id_a, id_b, cos, bucket_capped). Bucketing bounds the pair join;
+    at 100 TB increase ``bits`` so buckets stay small.
+
+    Hot-bucket bound: a degenerate signature bucket (e.g. many near-zero
+    or identical vectors) would make the within-bucket all-pairs join
+    quadratic. Buckets larger than ``max_bucket`` switch from the full
+    clique to a STAR against the bucket's min-id representative — O(n)
+    pairs instead of O(n²) — which preserves the dedup decision (every
+    member is scored against the keeper) while dropping only redundant
+    member-member edges. Star rows carry ``bucket_capped = true`` so the
+    truncation is visible, never silent."""
     b = simhash_buckets(df, vec_col, id_col, bits)
+    sizes = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
+    )
+    b = b.join(sizes, "bucket")
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    a_side = b.join(vecs, id_col).select(
+
+    small = b.where(F.col("_n") <= max_bucket)
+    a_side = small.join(vecs, id_col).select(
         F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va")
     )
-    b_side = b.join(vecs, id_col).select(
+    b_side = small.join(vecs, id_col).select(
         F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb")
     )
-    return (
+    clique = (
         a_side.join(b_side, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.lit(False).alias("bucket_capped"),
         )
-        .where(F.col("cos") >= threshold)
     )
+
+    big = b.where(F.col("_n") > max_bucket)
+    rep_vec = vecs.select(F.col(id_col).alias("_rep"), F.col(vec_col).alias("va"))
+    star = (
+        big.join(vecs, id_col)
+        .join(rep_vec, "_rep")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.round(cosine(F.col("va"), F.col(vec_col)), 4).alias("cos"),
+            F.lit(True).alias("bucket_capped"),
+        )
+    )
+    return clique.unionByName(star).where(F.col("cos") >= threshold)

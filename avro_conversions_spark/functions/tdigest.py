@@ -131,7 +131,14 @@ def tdigest_columns(
             )
         ).alias("p")
     ).select("p.*")
-    buckets = pairs.withColumn("_b", F.pmod(F.xxhash64("v"), F.lit(n_buckets)))
+    # bucket key salts the value hash with the physical partition id: a
+    # constant-heavy column (common for drift-checked metrics) would put
+    # every equal value into ONE pandas group — an executor-OOM at scale.
+    # Digest merging is order- and partition-insensitive, so salting only
+    # changes how partials split, never the merged digest's accuracy class.
+    buckets = pairs.withColumn(
+        "_b", F.pmod(F.xxhash64("v", F.spark_partition_id()), F.lit(n_buckets))
+    )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = build_digest(pdf["v"].to_numpy(dtype="float64"), delta)
@@ -168,7 +175,9 @@ def tdigest_quantiles(
 
     buckets = df.select(
         F.col(column).cast("double").alias(column),
-        F.pmod(F.xxhash64(column), F.lit(n_buckets)).alias("_b"),
+        # partition-id salt: see tdigest_columns — keeps constant-heavy
+        # columns from concentrating into a single pandas group
+        F.pmod(F.xxhash64(column, F.spark_partition_id()), F.lit(n_buckets)).alias("_b"),
     )
     partials = buckets.groupBy("_b").applyInPandas(
         per_bucket, "means array<double>, weights array<double>"

@@ -122,7 +122,7 @@ class SchemaManipulator:
                 new = self._new_name(child_path, f_.name)
                 c, dt = self._project(col.getField(f_.name), f_.dataType, child_path)
                 members.append(c.alias(new))
-                out_fields.append(T.StructField(new, dt, f_.nullable))
+                out_fields.append(T.StructField(new, dt, f_.nullable, f_.metadata))
             return F.struct(*members), T.StructType(out_fields)
         if isinstance(dtype, T.ArrayType):
             # rewrite elements through a transform only if anything changes below
@@ -162,7 +162,7 @@ class SchemaManipulator:
         for f_ in fields:
             new = self._new_name(f_.name, f_.name)
             _, dt = self._project(F.lit(None), f_.dataType, f_.name)
-            out.append(T.StructField(new, dt, f_.nullable))
+            out.append(T.StructField(new, dt, f_.nullable, f_.metadata))
         return T.StructType(out)
 
 
@@ -281,3 +281,56 @@ def validate_unique_names(schema: T.StructType) -> None:
             walk(dtype.elementType, path + "[]")
 
     walk(schema, "")
+
+
+# --- fluent entry points (SchemaManipulator.java:66-108) -------------------
+
+
+@dataclass
+class BoundSchemaManipulator(SchemaManipulator):
+    """A SchemaManipulator bound to a starting schema, mirroring the
+    reference's ``SchemaManipulator.startFromAvro/JsonSchema/Xsd`` builders
+    (SchemaManipulator.java:66-108): the write-schema document is loaded,
+    a read schema inferred, and the fluent rename/unwrap/convention calls
+    finish with either the rewritten schema or its markdown docs."""
+
+    base: T.StructType | None = None
+
+    def finish_schema(self) -> T.StructType:
+        return self.apply_schema(self.base)
+
+    def documentation(self, title: str | None = None) -> str:
+        return document_schema_markdown(self.finish_schema(), title)
+
+
+def start_from_schema(schema: T.StructType) -> BoundSchemaManipulator:
+    """startFromAvro analogue over an already-known Spark schema."""
+    return BoundSchemaManipulator(base=schema)
+
+
+def start_from_json_schema(source: str | dict) -> BoundSchemaManipulator:
+    """Load a JSON Schema document (draft 3 → 2020-12), infer the read
+    schema via the type-election lattice, and open a fluent manipulation
+    over it (SchemaManipulator.java:88-97)."""
+    from avro_conversions_spark.schema.json_schema import infer_read_schema
+    from avro_conversions_spark.schema.model import to_spark_type
+
+    rt, _ = infer_read_schema(source)
+    st = to_spark_type(rt)
+    if not isinstance(st, T.StructType):
+        st = T.StructType([T.StructField("value", st, True)])
+    return BoundSchemaManipulator(base=st)
+
+
+def start_from_xsd(source: str, root_element: str) -> BoundSchemaManipulator:
+    """Load an XSD, analyze ``root_element`` (cardinality stack, facet
+    math, simple/complexContent), infer the read schema, and open a fluent
+    manipulation over it (SchemaManipulator.java:99-108)."""
+    from avro_conversions_spark.schema.model import to_spark_type
+    from avro_conversions_spark.schema.xsd import infer_read_schema_from_xsd
+
+    rt = infer_read_schema_from_xsd(source, root_element)
+    st = to_spark_type(rt)
+    if not isinstance(st, T.StructType):
+        st = T.StructType([T.StructField("value", st, True)])
+    return BoundSchemaManipulator(base=st)

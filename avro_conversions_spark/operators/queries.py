@@ -92,6 +92,19 @@ def q_ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.violations(ev).select("event_id", "event_type")
 
 
+def q_ref_sortmerge_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity over a NON-broadcast dimension (the large-dim
+    path of SURVEY §2.8): lineitem → completed orders via sort-merge
+    left_anti. The dimension is deliberately not hinted; at 100 TB both
+    sides shuffle on the join key and AQE may still downgrade to broadcast
+    if the built side turns out small (plan-asserted in
+    tests/test_advice_fixes_r3.py with auto-broadcast disabled)."""
+    li = _t(spark, sf_dir, "lineitem")
+    finished = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    r = ReferentialConstraint("l_orderkey", finished, "o_orderkey", broadcast=False)
+    return r.violations(li).select("l_orderkey", "l_linenumber")
+
+
 def q_sequence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = SequenceConstraint(
@@ -713,6 +726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_violations_lineitem": q_unique_violations_lineitem,
     "ref_integrity_orders": q_ref_integrity_orders,
     "ref_violations_events": q_ref_violations_events,
+    "ref_sortmerge_lineitem": q_ref_sortmerge_lineitem,
     "sequence_lineitem": q_sequence_lineitem,
     "profile_lineitem": q_profile_lineitem,
     "pricing_summary": q_pricing_summary,
@@ -828,6 +842,12 @@ WHERE o_custkey IS NOT NULL
     "ref_violations_events": f"""
 SELECT event_id, event_type FROM events
 WHERE event_type IS NOT NULL AND event_type NOT IN {tuple(EVENT_TYPES_OK)!r}
+""",
+    "ref_sortmerge_lineitem": """
+SELECT l_orderkey, l_linenumber FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey)
 """,
     "sequence_lineitem": """
 WITH r AS (
@@ -1222,7 +1242,8 @@ WITH b AS (
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+       round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+       FALSE AS bucket_capped
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.2
 """,

@@ -239,11 +239,15 @@ def _parse(s: Any, names: dict[str, ReadType]) -> tuple[ReadType, bool]:
 # ---------------------------------------------------------------------------
 
 
-def to_spark_type(rt: ReadType) -> T.DataType:
+def to_spark_type(rt: ReadType, _seen: frozenset[int] = frozenset()) -> T.DataType:
     """The Spark type a resolved column will have (SURVEY.md §1.2 mapping).
 
     time-of-day types map to LongType micros-of-day (Spark has no TIME type);
     local timestamps map to TimestampNTZType.
+
+    A recursive record (named-type self-reference, legal in .avsc) has no
+    finite flat Spark type: raise a clear error instead of RecursionError,
+    mirroring the explicit recursion checks in both to_write_type paths.
     """
     if isinstance(rt, PrimitiveType):
         return {
@@ -270,9 +274,25 @@ def to_spark_type(rt: ReadType) -> T.DataType:
     if isinstance(rt, FixedType):
         return T.BinaryType()
     if isinstance(rt, ArrayType):
-        return T.ArrayType(to_spark_type(rt.items), rt.items_nullable)
+        return T.ArrayType(to_spark_type(rt.items, _seen), rt.items_nullable)
     if isinstance(rt, RecordType):
+        if id(rt) in _seen:
+            raise ValueError(
+                f"recursive record {rt.name!r} has no flat Spark type "
+                "(self-referencing named types cannot be projected to a struct)"
+            )
+        inner = _seen | {id(rt)}
         return T.StructType(
-            [T.StructField(f.name, to_spark_type(f.type), f.nullable) for f in rt.fields]
+            [
+                T.StructField(
+                    f.name,
+                    to_spark_type(f.type, inner),
+                    f.nullable,
+                    # field docs ride along as Spark column comments so
+                    # SchemaManipulator.documentation() keeps them
+                    {"comment": f.doc} if f.doc else {},
+                )
+                for f in rt.fields
+            ]
         )
     raise ValueError(f"unmapped read type {rt!r}")

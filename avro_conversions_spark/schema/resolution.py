@@ -318,16 +318,41 @@ def decimal_regex(p: int, s: int) -> str:
     return rf"^[+-]?\d{{1,{p - s}}}(\.\d{{0,{s}}})?$"
 
 
-def decimal_roundtrip_ok(c: Column, p: int, s: int) -> Column:
+def decimal_roundtrip_ok(c: Column, p: int, s: int, from_string: bool = False) -> Column:
     """True when the value's decimal rendering fits (p,s) without rounding,
-    judged by a wide-decimal round trip instead of a string regex — Spark
-    renders doubles with |x| < 1e-3 or >= 1e7 in scientific notation
-    ('1.0E-4'), which a plain-decimal regex falsely flags. Round to s digits
-    via decimal(38,s); exact iff the trip back to double is identity, plus
-    the integer-digit bound."""
+    judged by a wide round trip instead of a string regex — Spark renders
+    doubles with |x| < 1e-3 or >= 1e7 in scientific notation ('1.0E-4'),
+    which a plain-decimal regex falsely flags.
+
+    ``from_string=True`` (textual/decimal writers — BigDecimal semantics):
+    the exactness compare happens in DECIMAL space, never through double —
+    a value like '1.23000000000000001' collapses to the same double as
+    1.23 and would falsely pass RoundingMode.UNNECESSARY if judged there.
+    Cast to scale s (Spark rounds HALF_UP) and to a wide scale
+    (max-representable, ≤ 18 extra fraction digits); exact iff both casts
+    agree. Fraction digits beyond the wide scale are out of BigDecimal-
+    compare reach — 18 significant fraction digits is past any IEEE-754
+    source, so only synthetic strings hit that limit.
+
+    ``from_string=False`` (float/double writers): the value IS a double, so
+    hidden sub-double fraction digits cannot exist; the double round trip
+    is exact by construction and cheaper."""
+    int_digits = p - s
+    bound = F.abs(c.try_cast("double")) < F.lit(float(10**int_digits))
+    if from_string:
+        wide = max(s, min(18, 38 - int_digits))
+        d_s = c.try_cast(T.DecimalType(38, s))
+        d_w = c.try_cast(T.DecimalType(38, wide))
+        ok = (
+            d_s.isNotNull()
+            & d_w.isNotNull()
+            & (d_s.cast(T.DecimalType(38, wide)) == d_w)
+            & bound
+        )
+        return F.coalesce(ok, F.lit(False))
     d = c.try_cast(T.DecimalType(38, s))
     dbl = c.try_cast("double")
-    ok = d.isNotNull() & (d.cast("double") == dbl) & (F.abs(dbl) < F.lit(float(10 ** (p - s))))
+    ok = d.isNotNull() & (d.cast("double") == dbl) & bound
     return F.coalesce(ok, F.lit(False))
 
 
@@ -345,7 +370,7 @@ def _decimal_exact_conv(p: int, s: int, from_string: bool) -> Converter:
 
     def fits(c: Column) -> Column:
         if from_string:
-            return c.rlike(rx) | decimal_roundtrip_ok(c, p, s)
+            return c.rlike(rx) | decimal_roundtrip_ok(c, p, s, from_string=True)
         return decimal_roundtrip_ok(c, p, s)
 
     def conv(c: Column) -> Column:

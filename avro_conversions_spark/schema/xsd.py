@@ -169,6 +169,20 @@ def _particle_card(el: ET.Element) -> Card:
     return Card.REQUIRED
 
 
+def _merge_attrs(base: list[XField], derived: list[XField]) -> list[XField]:
+    """Flatten an attribute inheritance chain: base attributes keep their
+    position (base-first), a derived re-declaration overrides in place."""
+    out = list(base)
+    index = {f.name: i for i, f in enumerate(out)}
+    for f in derived:
+        if f.name in index:
+            out[index[f.name]] = f
+        else:
+            index[f.name] = len(out)
+            out.append(f)
+    return out
+
+
 def _doc(el: ET.Element | None) -> str | None:
     if el is None:
         return None
@@ -382,8 +396,11 @@ class XsdAnalyzer:
         if ext is None:
             ext = sc.find(_x("restriction"))
         base = ext.get("base")
-        scalar = self._content_scalar(base, name_hint)
-        attrs = self._attributes(ext)
+        scalar, inherited = self._content_scalar(base, name_hint)
+        # inherited attributes (base-first along the chain) come ahead of the
+        # derived type's own; a re-declared name is overridden in place by
+        # the most-derived declaration (reference walker flattens the chain)
+        attrs = _merge_attrs(inherited, self._attributes(ext))
         if not attrs:
             return scalar  # scalar element without attributes = plain scalar
         # attributes first, then the tag content as the 'value' field
@@ -395,7 +412,9 @@ class XsdAnalyzer:
 
     def _content_scalar(self, base_qname: str, name_hint: str):
         """simpleContent base may be a builtin, a named simpleType, or a
-        named complexType with simpleContent (chain)."""
+        named complexType with simpleContent (chain). Returns
+        (scalar, inherited_attributes): attributes declared anywhere along
+        the base chain are accumulated, not dropped."""
         local = _local(base_qname)
         if local in self.complex_types:
             inner = self.complex_types[local].find(_x("simpleContent"))
@@ -406,8 +425,9 @@ class XsdAnalyzer:
             ext = inner.find(_x("extension"))
             if ext is None:
                 ext = inner.find(_x("restriction"))
-            return self._content_scalar(ext.get("base"), name_hint)
-        return self._type_by_name_scalar(base_qname, name_hint)
+            scalar, inherited = self._content_scalar(ext.get("base"), name_hint)
+            return scalar, _merge_attrs(inherited, self._attributes(ext))
+        return self._type_by_name_scalar(base_qname, name_hint), []
 
     def _type_by_name_scalar(self, qname: str, class_name: str):
         t = self._type_by_name(qname, class_name)

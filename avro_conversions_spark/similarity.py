@@ -83,14 +83,18 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 7,
     max_iter: int = 5,
+    fit_sample: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse k-means quantizer (pyspark.ml,
     seeded → deterministic) partitions the corpus into ``n_lists`` cells;
     each query scans only its ``n_probe`` nearest cells. The 100 TB shape:
-    the quantizer trains ONCE on a sample, cell assignment is a single
-    narrow pass persisted alongside the corpus, and the probe join touches
-    n_probe/n_lists of the data — versus lsh_topk's banded signatures,
-    IVF adapts to the data distribution (cells follow density).
+    the quantizer trains ONCE on a seeded Bernoulli sample capped at
+    ``fit_sample`` vectors (k-means centroids don't need the tail — at
+    10^9+ vectors a full-corpus fit would be maxIter+1 full scans of the
+    vector column), cell assignment is a single narrow pass persisted
+    alongside the corpus, and the probe join touches n_probe/n_lists of
+    the data — versus lsh_topk's banded signatures, IVF adapts to the
+    data distribution (cells follow density).
 
     Returns (qid, rank, nid, cos) like brute_force_topk/lsh_topk."""
     from pyspark.ml.clustering import KMeans
@@ -102,7 +106,13 @@ def ivf_topk(
         array_to_vector(to_double(F.col(vec_col))).alias("features"),
     )
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||")
-    model = km.fit(c_feat.select("features"))
+    # sample the fit set: one metadata-cheap count + one narrow Bernoulli
+    # scan of the features column, instead of maxIter+1 full-corpus scans
+    n_corpus = corpus.count()
+    fit_df = c_feat.select("features")
+    if n_corpus > fit_sample:
+        fit_df = fit_df.sample(False, fit_sample / n_corpus, seed)
+    model = km.fit(fit_df)
     assigned = model.transform(c_feat).select(
         "nid", "nvec", F.col("prediction").alias("cell")
     )

@@ -267,3 +267,160 @@ def read_json_documents(
     schema), which also avoids a full inference pre-pass."""
     raw = spark.read.text(path).withColumnRenamed("value", "_json")
     return parse_json_column(raw, "_json", read)
+
+
+def parse_xml_with_xsd(
+    df: DataFrame,
+    xml_col: str,
+    xsd_source: str,
+    root_element: str,
+    read: RecordType | None = None,
+    binary_encoding: str = "base16",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """XML parsing with runtime XSD STRUCTURAL validation
+    (XmlAsAvroParser.java:263-278: the reference SAX-validates each
+    document against the XSD while parsing; failure tests
+    xml/XmlResolvingTest.java:163-212).
+
+    Well-formed-but-invalid documents produce violation rows instead of
+    SAXExceptions (V9): a required element/attribute missing from the
+    document flags ``MISSING_REQUIRED_ELEMENT`` (the reference yields an
+    object that explodes on first use — here the null is never silent), a
+    maxOccurs=1 element appearing more than once flags
+    ``TOO_MANY_ELEMENTS`` (first occurrence is kept as the value), and an
+    enumeration-facet mismatch flags the resolver's enum violation because
+    the XSD's facets flow into the default read schema.
+
+    Cardinality detection works by tokenizing every single-valued root
+    field as ``array<...>`` — ``from_xml`` collects repeated elements, so
+    occurrence counting is a JVM-side ``size()``, not a reparse.
+    Structural rules are enforced at the root-record level (nested records
+    validate through the resolver's null/violation path, matching the
+    repo's flat-table semantic — see SURVEY S5 note).
+
+    ``read`` defaults to the XSD-inferred read schema
+    (``infer_read_schema_from_xsd``); pass a declared .avsc read schema to
+    resolve against it instead (names must match the XSD's elements).
+    """
+    from avro_conversions_spark.schema.xsd import (
+        Card,
+        XsdAnalyzer,
+        XStruct,
+        to_read_type,
+    )
+
+    xt = XsdAnalyzer(xsd_source).type_of(root_element)
+    if not isinstance(xt, XStruct):
+        raise ValueError(f"root element {root_element!r} is not a structure")
+    if read is None:
+        rt = to_read_type(xt)
+        if not isinstance(rt, RecordType):
+            raise ValueError(f"root element {root_element!r} has no record read schema")
+        read = rt
+    cards = {f.name: f.card for f in xt.fields}
+
+    # tokenizer: single-valued fields wrapped as arrays for occurrence counts
+    tok_fields = []
+    for f in read.fields:
+        inner = _tokenizer_schema(f.type)
+        multiple = cards.get(f.name) == Card.MULTIPLE
+        for n in f.match_names():
+            tok_fields.append(
+                T.StructField(n, inner if multiple else T.ArrayType(inner, True), True)
+            )
+    tok_with_corrupt = T.StructType(
+        tok_fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = F.from_xml(
+        F.col(xml_col),
+        tok_with_corrupt,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    staged = df.select(
+        *(keep_cols or []), F.col(xml_col).alias("_raw"), parsed.alias("_doc")
+    )
+    staged = staged.withColumn(
+        "_corrupt",
+        F.col("_raw").isNotNull()
+        & (F.col("_doc").isNull() | F.col("_doc._corrupt_record").isNotNull()),
+    )
+
+    # structural checks + scalarization of the occurrence arrays
+    value_cols, struct_viols = [], []
+    for f in read.fields:
+        merged = F.coalesce(*[F.col(f"_doc.{n}") for n in f.match_names()])
+        card = cards.get(f.name, Card.OPTIONAL)
+        if card == Card.MULTIPLE:
+            value_cols.append(merged.alias(f.name))
+            continue
+        n_occ = F.coalesce(F.array_size(merged), F.lit(0))
+        if card == Card.REQUIRED:
+            struct_viols.append(
+                F.when(
+                    ~F.col("_corrupt") & (n_occ == 0),
+                    F.struct(
+                        F.lit(f.name).alias("column"),
+                        F.lit("MISSING_REQUIRED_ELEMENT").alias("reason"),
+                    ),
+                )
+            )
+        struct_viols.append(
+            F.when(
+                ~F.col("_corrupt") & (n_occ > 1),
+                F.struct(
+                    F.lit(f.name).alias("column"),
+                    F.lit("TOO_MANY_ELEMENTS").alias("reason"),
+                ),
+            )
+        )
+        value_cols.append(F.element_at(merged, 1).alias(f.name))
+
+    # structural violations reference `_doc` occurrence arrays, so they
+    # must materialize in THIS projection — `flat` drops `_doc`
+    struct_viol_arr = (
+        F.filter(F.array(*struct_viols), lambda x: x.isNotNull())
+        if struct_viols
+        else None
+    )
+    flat = staged.select(
+        *(keep_cols or []),
+        "_raw",
+        "_corrupt",
+        *( [struct_viol_arr.alias("_struct_viols")] if struct_viol_arr is not None else [] ),
+        *value_cols,
+    )
+    plans = _resolve(
+        T.StructType(
+            [x for x in flat.schema.fields if x.name in {f.name for f in read.fields}]
+        ),
+        read,
+        binary_encoding,
+    )
+    viols = []
+    for p in plans:
+        vp = p.violation_pred()
+        if vp is not None:
+            viols.append(
+                F.when(
+                    vp,
+                    F.struct(
+                        F.lit(p.name).alias("column"),
+                        F.lit(p.converter.reason or "UNPARSEABLE").alias("reason"),
+                    ),
+                )
+            )
+    if viols:
+        viol_arr = F.filter(F.array(*viols), lambda x: x.isNotNull())
+        if struct_viol_arr is not None:
+            viol_arr = F.concat(F.col("_struct_viols"), viol_arr)
+    elif struct_viol_arr is not None:
+        viol_arr = F.col("_struct_viols")
+    else:
+        viol_arr = F.array()
+    return flat.select(
+        *(keep_cols or []),
+        *[p.value() for p in plans],
+        viol_arr.alias("_violations"),
+        "_corrupt",
+    )

