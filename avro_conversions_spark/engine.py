@@ -61,10 +61,14 @@ class ValidationResult:
     # requested) so callers (e.g. the resumable ledger loop) can unpersist
     # after materializing outputs.
     cached: DataFrame | None = None
+    # handle on the persisted pruned input projection (cache_input=True)
+    cached_input: DataFrame | None = None
 
     def unpersist(self) -> None:
         if self.cached is not None:
             self.cached.unpersist()
+        if self.cached_input is not None:
+            self.cached_input.unpersist()
 
 
 @dataclass
@@ -166,8 +170,25 @@ class ValidationEngine:
             out = out.unionByName(p)
         return out
 
+    def _needed_columns(self, df: DataFrame) -> list[str]:
+        need = set(self.key_cols)
+        need.update(c.column for c in self.row_constraints)
+        for u in self.unique_constraints:
+            need.update(u.columns)
+        need.update(r.column for r in self.referential_constraints)
+        for s in self.sequence_constraints:
+            need.add(s.conv_col)
+            need.add(s.idx_col)
+            if s.ts_col:
+                need.add(s.ts_col)
+        return [c for c in df.columns if c in need]
+
     def run(
-        self, df: DataFrame, run_id: str = "run-0", cache_violations: bool = True
+        self,
+        df: DataFrame,
+        run_id: str = "run-0",
+        cache_violations: bool = True,
+        cache_input: bool = False,
     ) -> ValidationResult:
         self.check_plan(df.schema)
         part_expr = (
@@ -178,6 +199,22 @@ class ValidationEngine:
         # full-table dropDuplicates — at 100 TB that join was an extra
         # whole-table exchange just to map violation -> partition.
         pdf = df.withColumn(_PART, part_expr)
+        cached_input = None
+        if cache_input:
+            # the constraint families (row pass, uniqueness, referential,
+            # sequence, rows_checked) are independent consumers — each one
+            # re-decodes the source (5 scans of the pruned columns; measured
+            # plan). cache_input persists the PRUNED projection (constrained
+            # + key columns only; a transcript table's text/payload never
+            # enters) so the source is read ONCE. Measured on a LOCAL 42M-turn
+            # parquet table this LOSES ~2x: vectorized re-decode out of the OS
+            # page cache is cheaper than building + reading a deserialized
+            # columnar cache, so the default is off. Turn it on when the
+            # source is remote object storage (S3/GCS) or a cold Iceberg
+            # snapshot, where each extra scan is real network I/O — there the
+            # one-pass read dominates the cache-build cost.
+            pdf = pdf.select(*self._needed_columns(df), _PART).persist()
+            cached_input = pdf
 
         vint = self.violations_df(pdf, _part_col=_PART)
         if cache_violations:
@@ -246,6 +283,7 @@ class ValidationEngine:
             verdicts=verdicts,
             violations=violations,
             cached=vint if cache_violations else None,
+            cached_input=cached_input,
         )
 
     # ------------------------------------------------------------- repairs

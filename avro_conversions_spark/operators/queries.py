@@ -479,6 +479,63 @@ def q_parse_xml_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("k", "n", F.col("q").cast("string").alias("q_str"))
 
 
+_EV_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="ev">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="id" type="xs:long"/>
+        <xs:element name="u" type="xs:long" minOccurs="0"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def q_parse_xml_xsd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime XSD structural validation as a driver query
+    (XmlAsAvroParser.java:263-278): events serialized to XML with
+    deterministic structural corruption — every 5th doc omits the required
+    <id> (MISSING_REQUIRED_ELEMENT), the next duplicates it
+    (TOO_MANY_ELEMENTS, first occurrence kept). Oracle = the same CASE
+    logic over the source rows."""
+    from avro_conversions_spark.sources.documents import parse_xml_with_xsd
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    b = F.col("event_id") % 5
+    doc = (
+        F.when(
+            b == 0,
+            F.concat(F.lit("<ev><u>"), F.col("user_id"), F.lit("</u></ev>")),
+        )
+        .when(
+            b == 1,
+            F.concat(
+                F.lit("<ev><id>"), F.col("event_id"), F.lit("</id><id>"),
+                F.col("event_id"), F.lit("</id><u>"), F.col("user_id"),
+                F.lit("</u></ev>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<ev><id>"), F.col("event_id"), F.lit("</id><u>"),
+                F.col("user_id"), F.lit("</u></ev>"),
+            )
+        )
+    )
+    docs = ev.select(F.col("event_id").alias("eid"), doc.alias("doc"))
+    out = parse_xml_with_xsd(docs, "doc", _EV_XSD, "ev", keep_cols=["eid"])
+    return out.select(
+        "eid",
+        F.col("id").cast("long").alias("id"),
+        F.col("u").cast("long").alias("u"),
+        F.concat_ws(";", F.transform(F.col("_violations"), lambda x: x["reason"])).alias(
+            "viols"
+        ),
+    )
+
+
 def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming as a driver query: a REAL Structured Streaming run —
     file source over the events parquet, the batch row constraints applied
@@ -757,6 +814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolve_events_jsonschema": q_resolve_events_jsonschema,
     "parse_json_events": q_parse_json_events,
     "parse_xml_lineitem": q_parse_xml_lineitem,
+    "parse_xml_xsd_events": q_parse_xml_xsd_events,
     "stream_windowed_violations": q_stream_windowed_violations,
     "stateful_stream_transcripts": q_stateful_stream_transcripts,
     "verdicts_partitioned": q_verdicts_partitioned,
@@ -1117,6 +1175,15 @@ FROM events
 SELECT l_orderkey AS k, l_linenumber AS n,
        l_quantity::DECIMAL(12,2)::VARCHAR AS q_str
 FROM lineitem WHERE l_orderkey % 10 = 0
+""",
+    "parse_xml_xsd_events": """
+SELECT event_id AS eid,
+       (CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id END)::BIGINT AS id,
+       user_id::BIGINT AS u,
+       CASE WHEN event_id % 5 = 0 THEN 'MISSING_REQUIRED_ELEMENT'
+            WHEN event_id % 5 = 1 THEN 'TOO_MANY_ELEMENTS'
+            ELSE '' END AS viols
+FROM events WHERE event_id % 7 = 0
 """,
     "stateful_stream_transcripts": f"""
 WITH t AS (SELECT * FROM read_parquet('{STATEFUL_ORACLE_PATH}/*.parquet')),

@@ -319,6 +319,15 @@ def parse_xml_with_xsd(
             raise ValueError(f"root element {root_element!r} has no record read schema")
         read = rt
     cards = {f.name: f.card for f in xt.fields}
+    # fields whose XSD type carries unparsed content (mixed / xs:any —
+    # TypeWithUnparsedContent): their 'value' member must hold the RAW
+    # inner subtree re-assembled from the document, markup included
+    # (SimpleContentAdapter.java:44-135; XmlResolvingTest
+    # testContentOfMixedElements) — from_xml would only yield the
+    # character data, dropping nested markup
+    unparsed_fields = {
+        f.name for f in xt.fields if isinstance(f.type, XStruct) and f.type.unparsed
+    }
 
     # tokenizer: single-valued fields wrapped as arrays for occurrence counts
     tok_fields = []
@@ -335,7 +344,14 @@ def parse_xml_with_xsd(
     parsed = F.from_xml(
         F.col(xml_col),
         tok_with_corrupt,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record",
+            # attributes and simpleContent text map onto the read schema's
+            # plain field names ('type', 'value'), not '_type' / '_VALUE'
+            "attributePrefix": "",
+            "valueTag": "value",
+        },
     )
     staged = df.select(
         *(keep_cols or []), F.col(xml_col).alias("_raw"), parsed.alias("_doc")
@@ -345,6 +361,15 @@ def parse_xml_with_xsd(
         F.col("_raw").isNotNull()
         & (F.col("_doc").isNull() | F.col("_doc._corrupt_record").isNotNull()),
     )
+
+    def _raw_subtree(tag: str) -> Column:
+        """Re-assemble the raw inner content of <tag>...</tag> from the
+        document text (optional namespace prefix, attributes, dotall).
+        Limitation vs the reference's SAX stack: a tag self-nested inside
+        its own unparsed payload truncates at the first close tag."""
+        rx = rf"(?s)<(?:\w+:)?{tag}(?:\s[^>]*)?>(.*?)</(?:\w+:)?{tag}>"
+        inner = F.trim(F.regexp_extract(F.col("_raw"), rx, 1))
+        return F.when(inner != "", inner)
 
     # structural checks + scalarization of the occurrence arrays
     value_cols, struct_viols = [], []
@@ -374,7 +399,18 @@ def parse_xml_with_xsd(
                 ),
             )
         )
-        value_cols.append(F.element_at(merged, 1).alias(f.name))
+        scalar = F.element_at(merged, 1)
+        if f.name in unparsed_fields and isinstance(f.type, RecordType):
+            # swap the tokenizer's character-data 'value' for the raw
+            # re-assembled subtree; attributes keep their parsed values
+            members = [
+                (scalar.getField(rf.name).alias(rf.name))
+                if rf.name != "value"
+                else _raw_subtree(f.name).alias("value")
+                for rf in f.type.fields
+            ]
+            scalar = F.when(scalar.isNotNull(), F.struct(*members))
+        value_cols.append(scalar.alias(f.name))
 
     # structural violations reference `_doc` occurrence arrays, so they
     # must materialize in THIS projection — `flat` drops `_doc`

@@ -321,6 +321,55 @@ def test_xml_structural_malformed_still_corrupt(spark):
     assert rows[0]._corrupt
 
 
+_ENVELOPE_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="envelope">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="source" type="xs:string"/>
+        <xs:element name="payload">
+          <xs:complexType mixed="true">
+            <xs:sequence>
+              <xs:any minOccurs="0" processContents="lax"/>
+            </xs:sequence>
+            <xs:attribute name="type" type="xs:string"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def test_xml_unparsed_payload_reassembles_raw_subtree(spark):
+    """Mixed/any content: the payload's 'value' holds the RAW inner
+    subtree with markup — not just character data (reference
+    XmlResolvingTest.testContentOfMixedElements, xmlPayload.xml)."""
+    from avro_conversions_spark.sources.documents import parse_xml_with_xsd
+
+    docs = [
+        "<envelope><source>src</source>"
+        "<payload type=\"xml\"><record><title>Status</title>"
+        "<number>1</number></record></payload></envelope>",
+        "<envelope><source>src</source>"
+        "<payload type=\"text\">Hello World!</payload></envelope>",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, xml string")
+    rows = (
+        parse_xml_with_xsd(df, "xml", _ENVELOPE_XSD, "envelope", keep_cols=["i"])
+        .orderBy("i")
+        .collect()
+    )
+    assert rows[0].payload["type"] == "xml"
+    assert rows[0].payload["value"] == (
+        "<record><title>Status</title><number>1</number></record>"
+    )
+    assert rows[1].payload["type"] == "text"
+    assert rows[1].payload["value"] == "Hello World!"
+    assert rows[0].source == "src"
+
+
 # ---------------------------------------------------------------- startFrom
 
 

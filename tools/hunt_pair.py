@@ -47,10 +47,18 @@ def _busy(stop_at: float, counter) -> None:
     counter.value = n + int(x * 0)
 
 
-def _base_rate(seconds: float = 2.0) -> float:
-    c = mp.Value("i", 0)
-    _busy(time.perf_counter() + seconds, c)
-    return c.value / seconds
+def _base_rate(seconds: float = 2.0, samples: int = 3) -> float:
+    """Single-thread reference rate. Take the MAX of several samples: any
+    co-tenant noise during sampling UNDER-reads the base, which would make
+    every later calibration read optimistically high — the max is the
+    cleanest observation and the honest denominator."""
+    best = 0.0
+    for _ in range(samples):
+        c = mp.Value("i", 0)
+        _busy(time.perf_counter() + seconds, c)
+        best = max(best, c.value / seconds)
+        time.sleep(1.0)
+    return best
 
 
 def calibrate(base: float, workers: int = 8, seconds: float = 8.0) -> float:
@@ -122,11 +130,13 @@ def main() -> None:
     ap.add_argument("--forever", action="store_true")
     ap.add_argument("--sleep", type=float, default=60.0,
                     help="seconds between attempts when gated out")
+    ap.add_argument("--base", type=float, default=None,
+                    help="known-clean single-thread base rate (overrides sampling)")
     args = ap.parse_args()
     if not os.path.exists(DATA):
         sys.exit(f"stage the table first: python tools/bench_scaling.py (missing {DATA})")
 
-    base = _base_rate()
+    base = args.base if args.base else _base_rate()
     print(json.dumps({"base_rate": round(base, 1)}), flush=True)
     done = 0
     while args.forever or done < args.pairs:
