@@ -19,6 +19,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -581,7 +582,10 @@ def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STATEFUL_ORACLE_PATH = "/tmp/acs_oracle_stateful"
+# per-process staging paths: the oracle SQL embeds the path at import
+# time, and the Spark query writes it in the same process, so a pid
+# suffix keeps concurrent driver runs from clobbering each other
+STATEFUL_ORACLE_PATH = f"/tmp/acs_oracle_stateful_{os.getpid()}"
 
 
 def q_stateful_stream_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +744,7 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- transcripts
 
 
-TRANSCRIPTS_ORACLE_PATH = "/tmp/acs_oracle_transcripts"
+TRANSCRIPTS_ORACLE_PATH = f"/tmp/acs_oracle_transcripts_{os.getpid()}"
 
 
 def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,6 +127,11 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--levels", type=str, default=None,
+                    help="rotate through lo:hi pairs, e.g. '1:4,2:8,4:16' — "
+                         "overrides --lo/--hi. 1:4 is the pairing least "
+                         "exposed to vCPU preemption (fewest hot threads) "
+                         "and memory-bandwidth sharing.")
     ap.add_argument("--forever", action="store_true")
     ap.add_argument("--sleep", type=float, default=60.0,
                     help="seconds between attempts when gated out")
@@ -138,9 +143,17 @@ def main() -> None:
 
     base = args.base if args.base else _base_rate()
     print(json.dumps({"base_rate": round(base, 1)}), flush=True)
+    levels = (
+        [tuple(map(int, p.split(":"))) for p in args.levels.split(",")]
+        if args.levels
+        else [(args.lo, args.hi)]
+    )
     done = 0
+    attempt = 0
     while args.forever or done < args.pairs:
-        rec = one_pair(base, args.lo, args.hi)
+        lo_par, hi_par = levels[attempt % len(levels)]
+        attempt += 1
+        rec = one_pair(base, lo_par, hi_par)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
