@@ -50,6 +50,8 @@ HEADLINE = [
     "ndv_lineitem",
     "parse_json_events",
     "parse_xml_lineitem",
+    "parse_xml_xsd_events",
+    "ref_sortmerge_lineitem",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

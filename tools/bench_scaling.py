@@ -40,7 +40,15 @@ N_LO, N_HI = 2, 8  # N and 4N
 REPEATS = 3
 
 
-def build_engine(spark):
+def build_engine(spark, rich: bool = False):
+    """The benchmark constraint suite.
+
+    ``rich=True`` adds per-turn TEXT validation (presence, length bounds,
+    control-character scan, non-blank content) — the shape of the
+    reference's validate-every-field-of-every-document pass. Besides being
+    the more representative workload, it raises CPU-per-byte, so its
+    thread-scaling is less dominated by the single socket's shared memory
+    bandwidth (the lean suite's limiter; see BENCH/BASELINE.md)."""
     from avro_conversions_spark.constraints import (
         ReferentialConstraint,
         SequenceConstraint,
@@ -48,17 +56,29 @@ def build_engine(spark):
         enum_in,
         not_null,
         range_check,
+        regex_match,
+        str_len_between,
     )
     from avro_conversions_spark.engine import ValidationEngine
     from avro_conversions_spark.transcripts import ROLES, tool_catalog
 
+    row = [
+        not_null("conv_id"),
+        not_null("turn_idx"),
+        enum_in("role", ROLES),
+        range_check("turn_idx", 0, 2**31 - 1),
+    ]
+    if rich:
+        row += [
+            not_null("text"),
+            str_len_between("text", 1, 1_000_000),
+            regex_match(
+                "text", r"^[^\x00-\x08\x0b\x0c\x0e-\x1f]*$", name="no_ctrl(text)"
+            ),
+            regex_match("text", r"\S", name="non_blank(text)"),
+        ]
     return ValidationEngine(
-        row_constraints=[
-            not_null("conv_id"),
-            not_null("turn_idx"),
-            enum_in("role", ROLES),
-            range_check("turn_idx", 0, 2**31 - 1),
-        ],
+        row_constraints=row,
         unique_constraints=[UniqueConstraint(("conv_id", "turn_idx"))],
         referential_constraints=[
             ReferentialConstraint("tool", tool_catalog(spark), "tool_name")
@@ -84,7 +104,7 @@ def generate(n_convs: int) -> int:
     return n
 
 
-def run_at(parallelism: int, n_rows: int) -> dict:
+def run_at(parallelism: int, n_rows: int, rich: bool = False) -> dict:
     spark = get_spark(
         app_name=f"scale-{parallelism}",
         master=f"local[{parallelism}]",
@@ -101,7 +121,7 @@ def run_at(parallelism: int, n_rows: int) -> dict:
         },
     )
     df = spark.read.parquet(DATA)
-    eng = build_engine(spark)
+    eng = build_engine(spark, rich=rich)
     # warmup pass: whole-stage codegen compilation + JIT cost (~12 s measured)
     # is once-per-JVM, not per-run; the north-rule metric is SUSTAINED
     # throughput, so measure the steady-state second run. Warm on a 1/16
@@ -125,13 +145,15 @@ def run_at(parallelism: int, n_rows: int) -> dict:
         "turns": n_rows,
         "violations": n_viol,
         "turns_per_sec": round(n_rows / wall, 1),
+        "suite": "rich" if rich else "lean",
     }
 
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         par, n_rows = int(sys.argv[2]), int(sys.argv[3])
-        print(json.dumps(run_at(par, n_rows)))
+        rich = len(sys.argv) > 4 and sys.argv[4] == "rich"
+        print(json.dumps(run_at(par, n_rows, rich)))
         return
 
     args = [a for a in sys.argv[1:] if a != "--reuse"]

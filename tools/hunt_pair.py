@@ -75,10 +75,10 @@ def calibrate(base: float, workers: int = 8, seconds: float = 8.0) -> float:
     return (total / seconds) / base
 
 
-def run_level(par: int, n_rows: int) -> dict:
+def run_level(par: int, n_rows: int, rich: bool = False) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench_scaling.py"),
-         "--run", str(par), str(n_rows)],
+         "--run", str(par), str(n_rows)] + (["rich"] if rich else []),
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -93,11 +93,12 @@ def n_rows() -> int:
     return _N_ROWS
 
 
-def one_pair(base: float, lo_par: int, hi_par: int) -> dict:
+def one_pair(base: float, lo_par: int, hi_par: int, rich: bool = False) -> dict:
     rec: dict = {
         "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
         "lo_par": lo_par,
         "hi_par": hi_par,
+        "suite": "rich" if rich else "lean",
     }
     c_pre = calibrate(base)
     rec["calib_pre"] = round(c_pre, 2)
@@ -105,12 +106,12 @@ def one_pair(base: float, lo_par: int, hi_par: int) -> dict:
         rec["status"] = "skip_dirty_pre"
         return rec
     n = n_rows()
-    hi = run_level(hi_par, n)
+    hi = run_level(hi_par, n, rich)
     rec["hi_wall"] = hi["wall_sec"]
     rec["hi_tps"] = hi["turns_per_sec"]
     c_mid = calibrate(base)
     rec["calib_mid"] = round(c_mid, 2)
-    lo = run_level(lo_par, n)
+    lo = run_level(lo_par, n, rich)
     rec["lo_wall"] = lo["wall_sec"]
     rec["lo_tps"] = lo["turns_per_sec"]
     c_post = calibrate(base)
@@ -132,6 +133,8 @@ def main() -> None:
                          "overrides --lo/--hi. 1:4 is the pairing least "
                          "exposed to vCPU preemption (fewest hot threads) "
                          "and memory-bandwidth sharing.")
+    ap.add_argument("--rich", action="store_true",
+                    help="full text-validation suite (see bench_scaling.build_engine)")
     ap.add_argument("--forever", action="store_true")
     ap.add_argument("--sleep", type=float, default=60.0,
                     help="seconds between attempts when gated out")
@@ -153,7 +156,7 @@ def main() -> None:
     while args.forever or done < args.pairs:
         lo_par, hi_par = levels[attempt % len(levels)]
         attempt += 1
-        rec = one_pair(base, lo_par, hi_par)
+        rec = one_pair(base, lo_par, hi_par, rich=args.rich)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
