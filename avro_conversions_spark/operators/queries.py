@@ -537,6 +537,49 @@ def q_parse_xml_xsd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring (foreachBatch + t-digest KS vs a frozen
+    baseline). Deterministic oracle: the even-id half of events is the
+    baseline for `value` (same distribution as the streamed odd half →
+    pass) while `value_shifted`'s baseline is displaced by 1000 (KS ≈ 1 →
+    fail) — statuses sit far from the threshold, so engine-specific digest
+    detail cannot flip them."""
+    import shutil
+    import tempfile
+
+    from avro_conversions_spark.constraints.drift import DriftConstraint, save_snapshot
+    from avro_conversions_spark.streaming.drift import StreamingDriftMonitor
+
+    ev = _t(spark, sf_dir, "events")
+    base_dir = tempfile.mkdtemp(prefix="acs_sdrift_base_")
+    data_dir = tempfile.mkdtemp(prefix="acs_sdrift_data_")
+    ckpt = tempfile.mkdtemp(prefix="acs_sdrift_ckpt_")
+    try:
+        baseline = ev.where(F.col("event_id") % 2 == 0).select(
+            F.col("value").cast("double").alias("value"),
+            (F.col("value") + 1000.0).cast("double").alias("value_shifted"),
+        )
+        c = DriftConstraint(
+            columns=["value", "value_shifted"], baseline_path=base_dir, threshold=0.2
+        )
+        save_snapshot(c.snapshot(baseline), base_dir)
+        current = ev.where(F.col("event_id") % 2 == 1).select(
+            F.col("value").cast("double").alias("value"),
+            F.col("value").cast("double").alias("value_shifted"),
+        )
+        # single file → single micro-batch → deterministic one verdict/column
+        current.coalesce(1).write.mode("overwrite").parquet(data_dir)
+        stream = spark.readStream.schema(
+            "value double, value_shifted double"
+        ).parquet(data_dir)
+        mon = StreamingDriftMonitor(c)
+        mon.run_available_now(stream, ckpt)
+        rows = [(v["column"], v["status"]) for v in mon.results]
+        return spark.createDataFrame(rows, "col_name string, status string")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming as a driver query: a REAL Structured Streaming run —
     file source over the events parquet, the batch row constraints applied
@@ -820,6 +863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_xml_lineitem": q_parse_xml_lineitem,
     "parse_xml_xsd_events": q_parse_xml_xsd_events,
     "stream_windowed_violations": q_stream_windowed_violations,
+    "stream_drift_events": q_stream_drift_events,
     "stateful_stream_transcripts": q_stateful_stream_transcripts,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
@@ -1179,6 +1223,11 @@ FROM events
 SELECT l_orderkey AS k, l_linenumber AS n,
        l_quantity::DECIMAL(12,2)::VARCHAR AS q_str
 FROM lineitem WHERE l_orderkey % 10 = 0
+""",
+    "stream_drift_events": """
+SELECT 'value' AS col_name, 'pass' AS status
+UNION ALL
+SELECT 'value_shifted' AS col_name, 'fail' AS status
 """,
     "parse_xml_xsd_events": """
 SELECT event_id AS eid,
