@@ -29,7 +29,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-DATA = "/tmp/bench_scaling_transcripts"
+DATA = os.environ.get("ACS_SCALING_DATA", "/tmp/bench_scaling_transcripts")
 OUT = os.path.join(REPO, "BENCH", "hunt_r3.jsonl")
 GATE = 7.2  # effective cores of 8 (round-2 post-validated hunt used 7.2)
 TARGET = 0.8
@@ -146,17 +146,22 @@ def main() -> None:
 
     base = args.base if args.base else _base_rate()
     print(json.dumps({"base_rate": round(base, 1)}), flush=True)
+    def parse_level(p: str) -> tuple[int, int, bool]:
+        rich = p.endswith("r")
+        lo_s, hi_s = p.rstrip("r").split(":")
+        return int(lo_s), int(hi_s), rich or args.rich
+
     levels = (
-        [tuple(map(int, p.split(":"))) for p in args.levels.split(",")]
+        [parse_level(p) for p in args.levels.split(",")]
         if args.levels
-        else [(args.lo, args.hi)]
+        else [(args.lo, args.hi, args.rich)]
     )
     done = 0
     attempt = 0
     while args.forever or done < args.pairs:
-        lo_par, hi_par = levels[attempt % len(levels)]
+        lo_par, hi_par, rich = levels[attempt % len(levels)]
         attempt += 1
-        rec = one_pair(base, lo_par, hi_par, rich=args.rich)
+        rec = one_pair(base, lo_par, hi_par, rich=rich)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
