@@ -94,6 +94,61 @@ def minhash_signatures(
     )
 
 
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "minhash_sig",
+    num_hashes: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ROW-LOCAL MinHash signature: ``out_col`` = array of ``num_hashes``
+    min-hashes computed entirely within each row (tokens → shingles →
+    per-seed min over md5-derived hashes) — no explode, no shuffle.
+
+    This is the 100 TB signature path: ``minhash_signatures`` (explode +
+    groupBy) shuffles docs × shingles × seeds rows, which at 10^12 turns
+    is petabytes of exchange; the row-local form is a pure projection that
+    rides the SAME scan as everything else and emits exactly one array per
+    document. The two agree hash-for-hash (pinned by
+    test_row_local_minhash_matches_grouped). Shuffle-free also means the
+    banding/bucket join downstream can partition however it likes.
+
+    Intermediate token/shingle arrays are staged as real columns — Spark
+    does not CSE across lambda boundaries, so inlining them would
+    re-evaluate the tokenizer once per seed.
+
+    ``hash_fn``: 'md5' (default) is DuckDB-reproducible — the correctness
+    oracle recomputes it bit-for-bit; 'xxhash' is the production path —
+    xxhash64 is UTF8String-native (no hex-string round trip: the md5 form
+    allocates a hex string, substrings it, and string-parses it back per
+    hash, which at 24 hashes/row is allocation-bound, measured ~8x
+    slower)."""
+    from avro_conversions_spark.functions.text import shingles_from_tokens, tokens
+
+    staged = df.withColumn("_mh_toks", tokens(F.col(text_col))).withColumn(
+        "_mh_shingles", shingles_from_tokens(F.col("_mh_toks"), shingle_n)
+    )
+    if hash_fn == "xxhash":
+        def one_hash(s: Column, sh: Column) -> Column:
+            return F.xxhash64(s, sh)
+    elif hash_fn == "md5":
+        def one_hash(s: Column, sh: Column) -> Column:
+            return F.conv(
+                F.substring(F.md5(F.concat(s.cast("string"), sh)), 1, 8), 16, 10
+            ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(F.col("_mh_shingles"), lambda sh: one_hash(s, sh))
+        ),
+    )
+    return staged.withColumn(out_col, sig).drop("_mh_toks", "_mh_shingles")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

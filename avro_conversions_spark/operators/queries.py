@@ -221,6 +221,24 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_rowsig_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local MinHash signatures (the shuffle-free 100 TB path): one
+    array of 4 md5-derived min-hashes per document, computed entirely
+    inside the row — oracle recomputes the identical formula in DuckDB.
+    Restricted to docs with ≥ shingle_n tokens (below that the Spark side
+    falls back to a whole-text shingle the SQL oracle has no row for)."""
+    from avro_conversions_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").where(F.size(tokens(F.col("text"))) >= 3)
+    sig = dedup.with_minhash_signature(docs, num_hashes=4)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            "_", F.transform(F.col("minhash_sig"), lambda x: x.cast("string"))
+        ).alias("sig"),
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates within SimHash buckets — oracle-checked
     (sign-bit bucketing is SQL-portable)."""
@@ -843,6 +861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dups_documents": q_exact_dups_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
+    "minhash_rowsig_documents": q_minhash_rowsig_documents,
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "simhash_near_dups": q_simhash_near_dups,
     "token_stats_documents": q_token_stats_documents,
@@ -1028,6 +1047,20 @@ FROM documents
 """,
     "minhash_lsh_documents": _SHINGLE_CTE + _MINHASH_CTES + r"""
 SELECT id_a, id_b FROM cand
+""",
+    "minhash_rowsig_documents": _SHINGLE_CTE + r""",
+seeds AS (SELECT unnest(range(4)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min((('0x' || substr(md5(seed::varchar || shingle), 1, 8))::UBIGINT)::BIGINT)
+           AS minhash
+  FROM sh, seeds GROUP BY doc_id, seed
+)
+SELECT doc_id,
+       string_agg(minhash::varchar, '_' ORDER BY seed) AS sig
+FROM sig
+WHERE doc_id IN (SELECT doc_id FROM toks WHERE len(t) >= 3)
+GROUP BY doc_id
 """,
     "jaccard_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r""",
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

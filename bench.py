@@ -53,6 +53,7 @@ HEADLINE = [
     "parse_xml_xsd_events",
     "ref_sortmerge_lineitem",
     "stream_drift_events",
+    "minhash_rowsig_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

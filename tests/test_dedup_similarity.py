@@ -181,3 +181,23 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
         approx[r["qid"]].add(r["nid"])
     recalls = [len(truth[k] & approx.get(k, set())) / len(truth[k]) for k in truth]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_row_local_minhash_matches_grouped(spark):
+    """The shuffle-free row-local signature must agree hash-for-hash with
+    the explode+groupBy minhash_signatures path (same md5 formula)."""
+    import avro_conversions_spark.dedup as dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    grouped = {
+        (r.doc_id, r.seed): r.minhash
+        for r in dedup.minhash_signatures(docs, num_hashes=4).collect()
+    }
+    rowlocal = {
+        (r.doc_id, s): v
+        for r in dedup.with_minhash_signature(docs, num_hashes=4).collect()
+        for s, v in enumerate(r.minhash_sig)
+    }
+    assert grouped  # non-trivial corpus
+    for k, v in grouped.items():
+        assert rowlocal[k] == v, k

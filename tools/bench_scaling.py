@@ -48,23 +48,26 @@ def build_engine(spark, rich: bool = False):
     """The benchmark constraint suite.
 
     ``rich=True`` adds per-turn TEXT validation (presence, length bounds,
-    control-character scan, non-blank content) — the shape of the
-    reference's validate-every-field-of-every-document pass. Besides being
-    the more representative workload, it raises CPU-per-byte, so its
-    thread-scaling is less dominated by the single socket's shared memory
-    bandwidth (the lean suite's limiter; see BENCH/BASELINE.md)."""
+    non-blank content) — the shape of the reference's
+    validate-every-field-of-every-document pass. All text predicates stay
+    UTF8String-native (length/trim): a java-regex control-char scan was
+    measured at ~16 µs/row (30× every other predicate — a JDK regex slow
+    path), so content rules avoid rlike in the hot path. The CPU-dense
+    part of the rich pipeline is the row-local MinHash signature pass
+    added in run_at, not the predicates."""
     from avro_conversions_spark.constraints import (
         ReferentialConstraint,
+        RowConstraint,
         SequenceConstraint,
         UniqueConstraint,
         enum_in,
         not_null,
         range_check,
-        regex_match,
         str_len_between,
     )
     from avro_conversions_spark.engine import ValidationEngine
     from avro_conversions_spark.transcripts import ROLES, tool_catalog
+    from pyspark.sql import functions as F
 
     row = [
         not_null("conv_id"),
@@ -76,10 +79,12 @@ def build_engine(spark, rich: bool = False):
         row += [
             not_null("text"),
             str_len_between("text", 1, 1_000_000),
-            regex_match(
-                "text", r"^[^\x00-\x08\x0b\x0c\x0e-\x1f]*$", name="no_ctrl(text)"
+            RowConstraint(
+                name="non_blank(text)",
+                column="text",
+                reason="BLANK_TEXT",
+                predicate=lambda c: c.isNotNull() & (F.length(F.trim(c)) == 0),
             ),
-            regex_match("text", r"\S", name="non_blank(text)"),
         ]
     return ValidationEngine(
         row_constraints=row,
@@ -132,15 +137,39 @@ def run_at(parallelism: int, n_rows: int, rich: bool = False) -> dict:
     # hash-sample — same plan shape and codegen, a fraction of the data.
     from pyspark.sql import functions as F
 
+    def sig_ndv(frame) -> int:
+        # row-local MinHash signature pass (dedup.with_minhash_signature):
+        # one array of md5 min-hashes per turn, zero shuffle, + approx NDV
+        # of the signature — the dedup half of the validation+dedup
+        # pipeline, and the CPU-dense stage that makes the rich job
+        # compute-bound rather than scan-bound.
+        from avro_conversions_spark import dedup
+
+        sig = dedup.with_minhash_signature(
+            frame, "text", num_hashes=8, hash_fn="xxhash"
+        )
+        return (
+            sig.agg(
+                F.approx_count_distinct(
+                    F.concat_ws(
+                        "_", F.transform(F.col("minhash_sig"), lambda x: x.cast("string"))
+                    )
+                ).alias("n")
+            ).collect()[0]["n"]
+        )
+
     warm_df = df.where(F.pmod(F.xxhash64("conv_id"), F.lit(16)) == 0)
     warm = eng.run(warm_df, run_id="warmup")
     warm.verdicts.collect()
     warm.violations.count()
+    if rich:
+        sig_ndv(warm_df)
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     res = eng.run(df, run_id=f"scale{parallelism}")
     res.verdicts.collect()
     n_viol = res.violations.count()
+    n_sig = sig_ndv(df) if rich else None
     wall = time.perf_counter() - t0
     spark.stop()
     return {
@@ -150,6 +179,7 @@ def run_at(parallelism: int, n_rows: int, rich: bool = False) -> dict:
         "violations": n_viol,
         "turns_per_sec": round(n_rows / wall, 1),
         "suite": "rich" if rich else "lean",
+        "sig_ndv": n_sig,
     }
 
 
