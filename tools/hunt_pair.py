@@ -66,6 +66,18 @@ def _base_rate(seconds: float = 2.0, samples: int = 3) -> float:
     return best
 
 
+def calibrate_post(base: float) -> float:
+    """Post-run validation reading: max of two samples 15 s apart.
+    A calibration right after a sustained 8-thread Spark run under-reads
+    even past the 20 s settle (deeper teardown tail than the small-probe
+    measurement); a genuine co-tenant storm lasts minutes and stays low on
+    BOTH samples, while a teardown tail recovers by the second — the max
+    is the honest reading of the window itself."""
+    first = calibrate(base)
+    time.sleep(15.0)
+    return max(first, calibrate(base))
+
+
 def calibrate(base: float, workers: int = 8, seconds: float = 8.0) -> float:
     """Effective cores: aggregate busy-loop rate of `workers` processes
     relative to a single-process baseline rate measured at hunt start."""
@@ -115,13 +127,13 @@ def one_pair(base: float, lo_par: int, hi_par: int, rich: bool = False) -> dict:
     rec["hi_wall"] = hi["wall_sec"]
     rec["hi_tps"] = hi["turns_per_sec"]
     time.sleep(SETTLE_S)
-    c_mid = calibrate(base)
+    c_mid = calibrate_post(base)
     rec["calib_mid"] = round(c_mid, 2)
     lo = run_level(lo_par, n, rich)
     rec["lo_wall"] = lo["wall_sec"]
     rec["lo_tps"] = lo["turns_per_sec"]
     time.sleep(SETTLE_S)
-    c_post = calibrate(base)
+    c_post = calibrate_post(base)
     rec["calib_post"] = round(c_post, 2)
     ratio = hi_par // lo_par
     rec["efficiency"] = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio, 3)
@@ -154,7 +166,7 @@ def one_leg(base: float, par: int, rich: bool) -> dict:
     rec["wall"] = r["wall_sec"]
     rec["tps"] = r["turns_per_sec"]
     time.sleep(SETTLE_S)
-    c_post = calibrate(base)
+    c_post = calibrate_post(base)
     rec["calib_post"] = round(c_post, 2)
     rec["validated"] = bool(c_pre >= GATE and c_post >= GATE)
     rec["status"] = "ok"
