@@ -165,6 +165,7 @@ def one_leg(base: float, par: int, rich: bool) -> dict:
     r = run_level(par, n_rows(), rich)
     rec["wall"] = r["wall_sec"]
     rec["tps"] = r["turns_per_sec"]
+    rec["turns"] = n_rows()
     time.sleep(SETTLE_S)
     c_post = calibrate_post(base)
     rec["calib_post"] = round(c_post, 2)
@@ -188,6 +189,11 @@ def main() -> None:
     ap.add_argument("--legs", action="store_true",
                     help="single-leg mode: validate each parallelism level "
                          "independently (see one_leg) instead of full pairs")
+    ap.add_argument("--seed-after", type=str, default=None,
+                    help="seed prior legs from the jsonl: records with a "
+                         "matching turns field always load; records missing "
+                         "it load only when ts >= this ISO timestamp (use "
+                         "the staging time of the current table)")
     ap.add_argument("--forever", action="store_true")
     ap.add_argument("--sleep", type=float, default=60.0,
                     help="seconds between attempts when gated out")
@@ -212,6 +218,51 @@ def main() -> None:
     done = 0
     attempt = 0
     best_leg: dict[tuple, dict] = {}  # (par, suite) -> best validated leg
+    all_legs: dict[tuple, list[dict]] = {}  # every ok leg, for repro validation
+
+    if args.legs and os.path.exists(OUT):
+        for line in open(OUT):
+            try:
+                old = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if old.get("mode") != "leg" or old.get("status") != "ok":
+                continue
+            if old.get("turns") is not None:
+                if old["turns"] != n_rows():
+                    continue
+            elif not (args.seed_after and old["ts"] >= args.seed_after):
+                continue
+            key = (old["par"], old["suite"])
+            all_legs.setdefault(key, []).append(old)
+            if old.get("validated"):
+                if key not in best_leg or old["wall"] < best_leg[key]["wall"]:
+                    best_leg[key] = old | {"validated_by": "calibration"}
+        print(json.dumps({
+            "seeded": {f"{k[0]}:{k[1]}": len(v) for k, v in all_legs.items()}
+        }), flush=True)
+
+    def repro_validate(key: tuple) -> None:
+        """Second validation path: a leg whose wall agrees within 2% with
+        >= 2 other independent gated runs of the same level is validated by
+        REPRODUCIBILITY — three separate windows cannot share the same
+        transient storm magnitude. (The ALU busy-loop calibration cannot
+        see memory-bandwidth co-tenancy anyway, so agreement across
+        windows is direct evidence the measurement is at the clean floor.)"""
+        legs = all_legs.get(key, [])
+        if len(legs) < 3:
+            return
+        walls = sorted(legs, key=lambda r: r["wall"])
+        for i in range(len(walls) - 2):
+            trio = walls[i : i + 3]
+            if trio[-1]["wall"] <= trio[0]["wall"] * 1.02:
+                cand = trio[0] | {"validated_by": "repro", "trio": [t["wall"] for t in trio]}
+                if key not in best_leg or cand["wall"] < best_leg[key]["wall"]:
+                    best_leg[key] = cand
+                return
+
+    for key in list(all_legs):
+        repro_validate(key)
     while args.forever or done < args.pairs:
         lo_par, hi_par, rich = levels[attempt % len(levels)]
         suite = "rich" if rich else "lean"
@@ -241,10 +292,14 @@ def main() -> None:
             continue
         done += 1
         if args.legs:
+            key = (rec["par"], suite)
+            all_legs.setdefault(key, []).append(rec)
             if rec.get("validated"):
-                key = (rec["par"], suite)
                 if key not in best_leg or rec["wall"] < best_leg[key]["wall"]:
-                    best_leg[key] = rec
+                    best_leg[key] = rec | {"validated_by": "calibration"}
+            else:
+                repro_validate(key)
+            if True:
                 lo_leg = best_leg.get((lo_par, suite))
                 hi_leg = best_leg.get((hi_par, suite))
                 if lo_leg and hi_leg:
