@@ -117,7 +117,14 @@ def main() -> None:
             turns, dt = validated_turns(spark)
             timings[name] = round(dt, 3)
             continue
-        QUERIES[name](spark, sf_dir).collect()
+        # Materialize every result row to the driver through Arrow batches
+        # (toPandas) rather than row-at-a-time pickling (collect).  Round-4
+        # finding: for queries returning ~10^5 rows (sequence_lineitem:
+        # 439k at sf0.1) collect() pickling dominated the reading — 16.6 s
+        # in-suite for a plan that executes in ~1.1 s.  Arrow transfer is
+        # the realistic sink (any real consumer reads Arrow/parquet, not
+        # pickled Rows) and still executes the full plan on all rows.
+        QUERIES[name](spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
