@@ -115,12 +115,22 @@ def tdigest_columns(
     columns: list[str],
     delta: int = 100,
     n_buckets: int = 64,
+    partition_salt: bool = True,
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Per-column merged t-digests in ONE distributed pass: columns melt to
     narrow (column, value) pairs, applyInPandas builds one digest per
     (column, hash-bucket) — Arrow-vectorized, no per-row Python — and the
     ≤ columns x n_buckets partial digests merge on the driver. A 100 TB
-    table reduces to O(columns x delta) centroids before any comparison."""
+    table reduces to O(columns x delta) centroids before any comparison.
+
+    Determinism: with ``partition_salt=True`` (default) the bucket key
+    includes ``spark_partition_id()``, so how partials split — and thus the
+    merged centroids and quantile estimates, slightly — depends on physical
+    input partitioning: identical data under different file splits or
+    parallelism yields accuracy-equivalent but not bit-identical digests.
+    Callers needing repartition-invariant (reproducible) digests pass
+    ``partition_salt=False`` and accept that a constant-heavy column then
+    concentrates into one pandas group (executor-memory risk at scale)."""
     pairs = df.select(
         F.explode(
             F.array(
@@ -135,9 +145,11 @@ def tdigest_columns(
     # constant-heavy column (common for drift-checked metrics) would put
     # every equal value into ONE pandas group — an executor-OOM at scale.
     # Digest merging is order- and partition-insensitive, so salting only
-    # changes how partials split, never the merged digest's accuracy class.
+    # changes how partials split, never the merged digest's accuracy class
+    # (bit-exactness is partition-dependent though — see docstring).
+    salt = [F.spark_partition_id()] if partition_salt else []
     buckets = pairs.withColumn(
-        "_b", F.pmod(F.xxhash64("v", F.spark_partition_id()), F.lit(n_buckets))
+        "_b", F.pmod(F.xxhash64("v", *salt), F.lit(n_buckets))
     )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -161,10 +173,17 @@ def tdigest_quantiles(
     probs: list[float] | None = None,
     delta: int = 100,
     n_buckets: int = 64,
+    partition_salt: bool = True,
 ) -> list[tuple[float, float]]:
     """Distributed t-digest: bucket rows by hash, applyInPandas builds one
     digest per bucket (vectorized), driver merges ≤ n_buckets digests and
-    reads quantiles. Returns [(prob, value)]."""
+    reads quantiles. Returns [(prob, value)].
+
+    Same determinism caveat as ``tdigest_columns``: the default
+    partition-id salt makes estimates accuracy-equivalent but not
+    bit-identical across different physical partitionings; pass
+    ``partition_salt=False`` for reproducible digests (at the cost of
+    constant-heavy columns concentrating into one group)."""
     probs = probs or [0.25, 0.5, 0.75]
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -173,11 +192,12 @@ def tdigest_quantiles(
             {"means": [m.tolist()], "weights": [w.tolist()]}
         )
 
+    salt = [F.spark_partition_id()] if partition_salt else []
     buckets = df.select(
         F.col(column).cast("double").alias(column),
         # partition-id salt: see tdigest_columns — keeps constant-heavy
         # columns from concentrating into a single pandas group
-        F.pmod(F.xxhash64(column, F.spark_partition_id()), F.lit(n_buckets)).alias("_b"),
+        F.pmod(F.xxhash64(column, *salt), F.lit(n_buckets)).alias("_b"),
     )
     partials = buckets.groupBy("_b").applyInPandas(
         per_bucket, "means array<double>, weights array<double>"

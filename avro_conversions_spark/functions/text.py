@@ -103,13 +103,39 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def kgram_hashes(text: Column, k: int = 8) -> Column:
+KGRAM_MAX_LEN = 262_144  # 256 KiB of text → ≤256k-element gram array (~2 MB)
+
+
+def kgram_truncated(text: Column, max_len: int = KGRAM_MAX_LEN) -> Column:
+    """True when ``kgram_hashes`` will only scan a prefix of this document —
+    the visible no-silent-caps flag that must ride alongside fingerprints
+    produced from capped text."""
+    return F.length(text) > max_len
+
+
+def kgram_hashes(text: Column, k: int = 8, max_len: int = KGRAM_MAX_LEN) -> Column:
     """Rolling character k-gram hashes: H(i) = hash(substr(text, i, k)) for
     every position. md5-derived 32-bit values so the DuckDB oracle can
     reproduce them bit-for-bit; production swaps to xxhash64 like the
     MinHash path (dedup.py:15-18). Pure higher-order-function expression —
-    O(len) per document, JVM-side."""
-    n = F.greatest(F.length(text) - k + 1, F.lit(1))
+    O(len) per document, JVM-side.
+
+    The scan is capped at ``max_len`` characters: the gram array
+    materializes inside ONE row, so an uncapped multi-MB document would
+    allocate a multi-million-element long array (8 B each) in executor
+    memory — a cliff at 100 TB. The cap is never silent: surface
+    ``kgram_truncated(text, max_len)`` next to the fingerprints (the same
+    discipline as embedding_near_duplicates' bucket_capped flag). A
+    256 KiB prefix is far past where winnowed fingerprints saturate for
+    near-dup detection.
+
+    Implementation note: the cap bounds ``n`` (the index sequence) rather
+    than wrapping ``text`` in a substring — Spark does not CSE across
+    lambda boundaries, so a ``substr(text, 1, max_len)`` referenced inside
+    the per-element lambda would re-copy the prefix once per gram."""
+    n = F.greatest(
+        F.least(F.length(text), F.lit(max_len)) - k + 1, F.lit(1)
+    )
     return F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.conv(

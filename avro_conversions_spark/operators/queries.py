@@ -20,6 +20,7 @@ Conventions:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -265,13 +266,19 @@ def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing/MOSS): character
     k-gram rolling hashes -> window minima -> distinct fingerprints per
-    doc. Shared substrings >= k+w-1 chars guarantee shared fingerprints."""
+    doc. Shared substrings >= k+w-1 chars guarantee shared fingerprints.
+    The scan caps at KGRAM_MAX_LEN chars per doc; the cap is surfaced as
+    the ``truncated`` column (no silent caps), oracle-checked too."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    staged = docs.select("doc_id", TXT.kgram_hashes(F.col("text"), k=8).alias("_g"))
-    fps = staged.select(
-        "doc_id", TXT.winnowed_fingerprints(F.col("_g"), w=4).alias("_fps")
+    staged = docs.select(
+        "doc_id",
+        TXT.kgram_hashes(F.col("text"), k=8).alias("_g"),
+        TXT.kgram_truncated(F.col("text")).alias("truncated"),
     )
-    return fps.select("doc_id", F.explode("_fps").alias("fp"))
+    fps = staged.select(
+        "doc_id", "truncated", TXT.winnowed_fingerprints(F.col("_g"), w=4).alias("_fps")
+    )
+    return fps.select("doc_id", F.explode("_fps").alias("fp"), "truncated")
 
 
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +602,12 @@ def q_stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(v["column"], v["status"]) for v in mon.results]
         return spark.createDataFrame(rows, "col_name string, status string")
     finally:
+        # the returned DataFrame is built from driver-side rows, so none of
+        # the three temp dirs outlive this call — remove them all (the old
+        # code removed only ckpt, leaking base/data under /tmp per run)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
 
 
 def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,14 +804,18 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     half = ev.where(F.col("event_id") % 2 == 0).select("value")
-    path = tempfile.mkdtemp() + "/baseline"
-    save_snapshot(tdigest_snapshot(half, ["value"]), path)
-    dc = DriftConstraint(["value"], path, threshold=0.1, method="tdigest")
-    rows = dc.check(ev.select("value"))
-    return spark.createDataFrame(
-        [(r["column"], r["ks"], r["status"]) for r in rows],
-        "column string, ks double, status string",
-    )
+    tmp = tempfile.mkdtemp(prefix="acs_drift_base_")
+    try:
+        path = tmp + "/baseline"
+        save_snapshot(tdigest_snapshot(half, ["value"]), path)
+        dc = DriftConstraint(["value"], path, threshold=0.1, method="tdigest")
+        rows = dc.check(ev.select("value"))
+        return spark.createDataFrame(
+            [(r["column"], r["ks"], r["status"]) for r in rows],
+            "column string, ks double, status string",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # -------------------------------------------------------------- transcripts
@@ -1089,17 +1105,17 @@ FROM t
 """,
     "winnow_documents": """
 WITH g AS (
-  SELECT doc_id,
+  SELECT doc_id, length(text) > 262144 AS truncated,
          [ (('0x' || substr(md5(text[i:i+7]), 1, 8))::UBIGINT)::BIGINT
-           FOR i IN range(1, greatest(length(text) - 7, 1) + 1) ] AS grams
+           FOR i IN range(1, greatest(least(length(text), 262144) - 7, 1) + 1) ] AS grams
   FROM documents WHERE doc_id < 50
 ), w AS (
-  SELECT doc_id,
+  SELECT doc_id, truncated,
          list_sort(list_distinct([ list_aggregate(grams[j:j+3], 'min')
            FOR j IN range(1, greatest(len(grams) - 3, 1) + 1) ])) AS fps
   FROM g
 )
-SELECT doc_id, unnest(fps) AS fp FROM w
+SELECT doc_id, unnest(fps) AS fp, truncated FROM w
 """,
     "langid_documents": rf"""
 WITH s AS (

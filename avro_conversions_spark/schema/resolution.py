@@ -147,7 +147,7 @@ class ColumnPlan:
     def value(self) -> Column:
         if self.source is None:
             return F.lit(self.default).cast(self.converter.spark_type).alias(self.name)
-        col = self.converter.convert(F.col(self.source))
+        col = self.converter.convert(_src(self.source))
         if self.default is not ... and self.default is not None:
             col = F.coalesce(col, F.lit(self.default).cast(self.converter.spark_type))
         return col.alias(self.name)
@@ -155,7 +155,13 @@ class ColumnPlan:
     def violation_pred(self) -> Column | None:
         if self.source is None or self.converter.violation is None:
             return None
-        return self.converter.violation(F.col(self.source))
+        return self.converter.violation(_src(self.source))
+
+
+def _src(name: str) -> Column:
+    """Column ref by LITERAL name — legal writer field names (XML/JSON) may
+    contain '.', which a bare F.col would mis-parse as a nested path."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
 
 
 def _no_violation(_c: Column) -> Column:
@@ -203,23 +209,30 @@ def _decimal_required(wt: WriteType) -> tuple[int, int]:
 # conversion builders (runtime Column expressions)
 # --------------------------------------------------------------------------
 
-_DATE_RX = r"^\d{4}-\d{2}-\d{2}$"
 # ISO local time with optional fractional seconds and optional zone offset;
-# field ranges validated in the pattern (regex is the only semantic gate here,
-# unlike dates/timestamps where try_cast re-validates)
+# field ranges validated in the pattern (regex is load-bearing here — there
+# is no TIME cast to re-validate, unlike dates/timestamps whose regex
+# guards were dropped for the strict try_to_date / guarded try_cast)
 _TIME_RX = (
     r"^([01]\d|2[0-3]):([0-5]\d):([0-5]\d)(?:\.(\d{1,9}))?"
     r"(Z|[+-](?:[01]\d|2[0-3]):?[0-5]\d)?$"
 )
-_TS_RX = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?$"
 
 
 def _date_conv() -> Converter:
+    """R2/F3 string→date.  No regex guard: Spark 4's CORRECTED-mode
+    ``try_to_date(c, 'yyyy-MM-dd')`` is already exactly as strict as the
+    old ``rlike('^\\d{4}-\\d{2}-\\d{2}$')`` pre-filter (measured:
+    '2021-1-1', '2021-13-01', '2021-02-30', ' 2021-01-01', '2021-01-01x',
+    '21-01-01', '+2021-01-01' all yield NULL) — and java-regex rlike costs
+    ~16 µs/row AND serializes the job (BENCH/BASELINE.md round-3
+    finding), so the guard was pure overhead on the hot row path."""
+
     def conv(c: Column) -> Column:
-        return F.when(c.rlike(_DATE_RX), F.try_to_date(c, "yyyy-MM-dd"))
+        return F.try_to_date(c, "yyyy-MM-dd")
 
     def viol(c: Column) -> Column:
-        return c.isNotNull() & F.when(c.rlike(_DATE_RX), F.try_to_date(c, "yyyy-MM-dd")).isNull()
+        return c.isNotNull() & F.try_to_date(c, "yyyy-MM-dd").isNull()
 
     return Converter(conv, viol, "INVALID_DATE", T.DateType())
 
@@ -263,6 +276,27 @@ def _time_conv(micros: bool) -> Converter:
     return Converter(conv, viol, "INVALID_TIME", T.LongType())
 
 
+def _ts_shape(c: Column) -> Column:
+    """Cheap positional structure check replacing the old ``rlike(_TS_RX)``
+    guard (java-regex ≈ 16 µs/row and serializes the job — round-3
+    measurement).  Spark's timestamp cast is lax about field widths
+    ('2021-1-1 0:0:0'), accepts bare dates and minute-precision strings;
+    these five substring probes + a length floor force the strict
+    yyyy-MM-dd{T, }HH:mm:ss prefix, and ``try_cast`` validates everything
+    else (digits, field ranges, fraction, zone).  Documented deviations
+    from the old regex, both beyond any IEEE/ISO writer: a named-zone
+    suffix (' UTC') and fractions >9 digits are now accepted by the cast
+    where the regex rejected them."""
+    return (
+        (F.substring(c, 5, 1) == F.lit("-"))
+        & (F.substring(c, 8, 1) == F.lit("-"))
+        & F.substring(c, 11, 1).isin("T", " ")
+        & (F.substring(c, 14, 1) == F.lit(":"))
+        & (F.substring(c, 17, 1) == F.lit(":"))
+        & (F.length(c) >= 19)
+    )
+
+
 def _timestamp_conv(ntz: bool) -> Converter:
     """ISO datetime string ('T' or space separator, optional zone) →
     timestamp; missing zone falls back to the session time zone, matching
@@ -270,10 +304,10 @@ def _timestamp_conv(ntz: bool) -> Converter:
     target = T.TimestampNTZType() if ntz else T.TimestampType()
 
     def conv(c: Column) -> Column:
-        return F.when(c.rlike(_TS_RX), c.try_cast(target))
+        return F.when(_ts_shape(c), c.try_cast(target))
 
     def viol(c: Column) -> Column:
-        return c.isNotNull() & F.when(c.rlike(_TS_RX), c.try_cast(target)).isNull()
+        return c.isNotNull() & F.when(_ts_shape(c), c.try_cast(target)).isNull()
 
     return Converter(conv, viol, "INVALID_TIMESTAMP", target)
 
@@ -318,38 +352,54 @@ def decimal_regex(p: int, s: int) -> str:
     return rf"^[+-]?\d{{1,{p - s}}}(\.\d{{0,{s}}})?$"
 
 
+# full textual decimal (optionally scientific); groups: int digits,
+# fraction digits, exponent
+_DEC_PARTS_RX = r"^[+-]?(\d*)(?:\.(\d*))?(?:[eE]([+-]?\d+))?$"
+
+
 def decimal_roundtrip_ok(c: Column, p: int, s: int, from_string: bool = False) -> Column:
-    """True when the value's decimal rendering fits (p,s) without rounding,
-    judged by a wide round trip instead of a string regex — Spark renders
-    doubles with |x| < 1e-3 or >= 1e7 in scientific notation ('1.0E-4'),
-    which a plain-decimal regex falsely flags.
+    """True when the value fits decimal(p,s) without rounding
+    (RoundingMode.UNNECESSARY, io/AsAvroParserBase.java:457-462).
 
     ``from_string=True`` (textual/decimal writers — BigDecimal semantics):
-    the exactness compare happens in DECIMAL space, never through double —
-    a value like '1.23000000000000001' collapses to the same double as
-    1.23 and would falsely pass RoundingMode.UNNECESSARY if judged there.
-    Cast to scale s (Spark rounds HALF_UP) and to a wide scale
-    (max-representable, ≤ 18 extra fraction digits); exact iff both casts
-    agree. Fraction digits beyond the wide scale are out of BigDecimal-
-    compare reach — 18 significant fraction digits is past any IEEE-754
-    source, so only synthetic strings hit that limit.
+    judged ENTIRELY in text space by digit arithmetic — never through
+    double (a value like '1.23000000000000001' collapses to the double
+    1.23) and never through a capped-scale decimal cast (the former
+    wide-cast compare lost its headroom as p-s grew: at p-s >= 20 the
+    guard scale shrank below 18, and at p == 38, s == 10 it equalled s,
+    passing ANY castable string).  For a value  sign D_int . D_frac E exp
+    let D = D_int||D_frac and k = exp - len(D_frac), so value = ±D·10^k:
+      * effective fraction digits = max(0, -k - trailing_zeros(D))
+      * effective integer digits  = max(0, len(strip_leading_zeros(D)) + k)
+        (0 when D is all zeros — the value is exactly 0)
+    fits iff eff_frac <= s and eff_int <= p - s.  Exact for any (p,s),
+    including p == s and precision 38.  Leading/trailing whitespace does
+    NOT pass (BigDecimal(String) rejects it; Spark's cast would trim).
 
     ``from_string=False`` (float/double writers): the value IS a double, so
     hidden sub-double fraction digits cannot exist; the double round trip
     is exact by construction and cheaper."""
+    if from_string:
+        txt = c.cast("string")
+        valid = txt.rlike(_FLOAT_RX)
+        intp = F.regexp_extract(txt, _DEC_PARTS_RX, 1)
+        frac = F.regexp_extract(txt, _DEC_PARTS_RX, 2)
+        exps = F.regexp_extract(txt, _DEC_PARTS_RX, 3)
+        # exponent: '' -> 0; a value too large for long -> invalid, not 0
+        exp = F.coalesce(exps.try_cast("long"), F.lit(0))
+        valid = valid & ((exps == F.lit("")) | exps.try_cast("long").isNotNull())
+        digits = F.concat(intp, frac)
+        trailing = F.length(digits) - F.length(F.regexp_replace(digits, "0+$", ""))
+        sig_len = F.length(F.regexp_replace(digits, "^0+", ""))
+        k = exp - F.length(frac)
+        eff_frac = F.greatest(-k - trailing, F.lit(0))
+        eff_int = F.when(sig_len == 0, F.lit(0)).otherwise(
+            F.greatest(sig_len + k, F.lit(0))
+        )
+        ok = valid & (eff_frac <= F.lit(s)) & (eff_int <= F.lit(p - s))
+        return F.coalesce(ok, F.lit(False))
     int_digits = p - s
     bound = F.abs(c.try_cast("double")) < F.lit(float(10**int_digits))
-    if from_string:
-        wide = max(s, min(18, 38 - int_digits))
-        d_s = c.try_cast(T.DecimalType(38, s))
-        d_w = c.try_cast(T.DecimalType(38, wide))
-        ok = (
-            d_s.isNotNull()
-            & d_w.isNotNull()
-            & (d_s.cast(T.DecimalType(38, wide)) == d_w)
-            & bound
-        )
-        return F.coalesce(ok, F.lit(False))
     d = c.try_cast(T.DecimalType(38, s))
     dbl = c.try_cast("double")
     ok = d.isNotNull() & (d.cast("double") == dbl) & bound

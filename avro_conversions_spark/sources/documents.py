@@ -26,6 +26,8 @@ arrays (no nested arrays), nullable unions, no maps.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,7 +152,7 @@ def parse_json_column(
         # alias matching (doc/index.md:34-47): the tokenizer captured every
         # alias as its own field; fold them into the primary name here
         *[
-            F.coalesce(*[F.col(f"_doc.{n}") for n in f.match_names()]).alias(f.name)
+            F.coalesce(*[F.col("_doc").getField(n) for n in f.match_names()]).alias(f.name)
             for f in read.fields
         ],
     )
@@ -223,7 +225,7 @@ def parse_xml_column(
         # alias matching (doc/index.md:34-47): the tokenizer captured every
         # alias as its own field; fold them into the primary name here
         *[
-            F.coalesce(*[F.col(f"_doc.{n}") for n in f.match_names()]).alias(f.name)
+            F.coalesce(*[F.col("_doc").getField(n) for n in f.match_names()]).alias(f.name)
             for f in read.fields
         ],
     )
@@ -365,8 +367,11 @@ def parse_xml_with_xsd(
     def _raw_subtree(tag: str) -> Column:
         """Re-assemble the raw inner content of <tag>...</tag> from the
         document text (optional namespace prefix, attributes, dotall).
+        The tag name is regex-escaped — legal XML names may contain regex
+        metacharacters ('.', '-') that would otherwise over-match.
         Limitation vs the reference's SAX stack: a tag self-nested inside
         its own unparsed payload truncates at the first close tag."""
+        tag = re.escape(tag)
         rx = rf"(?s)<(?:\w+:)?{tag}(?:\s[^>]*)?>(.*?)</(?:\w+:)?{tag}>"
         inner = F.trim(F.regexp_extract(F.col("_raw"), rx, 1))
         return F.when(inner != "", inner)
@@ -374,7 +379,9 @@ def parse_xml_with_xsd(
     # structural checks + scalarization of the occurrence arrays
     value_cols, struct_viols = [], []
     for f in read.fields:
-        merged = F.coalesce(*[F.col(f"_doc.{n}") for n in f.match_names()])
+        # getField, not a dotted path string — legal XML names may contain
+        # '.', which F.col("_doc.a.b") would mis-parse as nesting
+        merged = F.coalesce(*[F.col("_doc").getField(n) for n in f.match_names()])
         card = cards.get(f.name, Card.OPTIONAL)
         if card == Card.MULTIPLE:
             value_cols.append(merged.alias(f.name))

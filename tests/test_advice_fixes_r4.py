@@ -1,0 +1,252 @@
+"""Round-4 regression tests: every VERDICT r3 'next round' item and every
+ADVICE r3 finding gets a pinned behavior here.
+
+- decimal exactness at HIGH precision (the wide-cast compare degenerated
+  when p - s > 20; now pure textual digit arithmetic at any (p, s))
+- date/timestamp converters without regex guards keep full strictness
+- kgram_hashes length cap with a visible ``truncated`` flag
+- _raw_subtree escapes regex metacharacters in element names
+- t-digest partition_salt=False yields repartition-invariant digests
+- q_stream_drift_events / q_drift_events leak no temp dirs
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+SF001 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------- decimal
+
+
+@pytest.mark.parametrize(
+    "value,p,s,expected",
+    [
+        # ADVICE r3 case: at p=38, s=10 the old wide scale equalled s and
+        # ANY castable string passed — 11 fraction digits must now flag
+        ("1.23456789015", 38, 10, False),
+        ("1.2345678901", 38, 10, True),
+        # guard digits silently shrank whenever p - s > 20
+        ("1.234567", 30, 5, False),
+        ("99999999999999999999999999.999999999999", 38, 12, True),
+        ("999999999999999999999999999.999999999999", 38, 12, False),
+        # exponent beyond long range must be invalid, not treated as 0
+        ("1e99999999999999999999", 38, 0, False),
+        # trailing zeros across int/frac/exponent forms stay exact
+        ("12300e-2", 5, 2, True),
+        ("1.2300e2", 5, 2, True),
+        ("0.00123e5", 5, 2, True),
+        # zero in exotic renderings
+        ("0.00", 2, 2, True),
+        ("0e5", 2, 1, True),
+        # BigDecimal(String) rejects whitespace — so do we now
+        (" 1.23", 5, 2, False),
+    ],
+)
+def test_decimal_textual_exactness_high_precision(spark, value, p, s, expected):
+    from avro_conversions_spark.schema.resolution import decimal_roundtrip_ok
+
+    df = spark.createDataFrame([(value,)], "v string")
+    got = df.select(
+        decimal_roundtrip_ok(F.col("v"), p, s, from_string=True).alias("ok")
+    ).collect()[0].ok
+    assert got is expected
+
+
+# ------------------------------------------------------- date / timestamp
+
+
+def test_date_conv_strict_without_regex_guard(spark):
+    """VERDICT r3 #2: the rlike guard is gone; try_to_date alone must keep
+    the exact strictness the regex provided."""
+    from avro_conversions_spark.schema.model import LogicalType
+    from avro_conversions_spark.schema.resolution import SchemaResolver, WriteType
+    from pyspark.sql import types as T
+
+    conv = SchemaResolver(strict_nullability=False).resolve(
+        WriteType(T.StringType(), format="date"), LogicalType("date")
+    )
+    bad = ["2021-1-1", "2021-13-01", "2021-02-30", "not-a-date",
+           " 2021-01-01", "2021-01-01x", "21-01-01", "+2021-01-01"]
+    df = spark.createDataFrame([(v,) for v in bad + ["2021-01-01"]], "v string")
+    out = df.select(
+        "v",
+        conv.convert(F.col("v")).alias("d"),
+        conv.violation(F.col("v")).alias("viol"),
+    ).collect()
+    by_v = {r.v: (r.d, r.viol) for r in out}
+    for v in bad:
+        assert by_v[v][0] is None and by_v[v][1] is True, v
+    assert str(by_v["2021-01-01"][0]) == "2021-01-01"
+    assert by_v["2021-01-01"][1] is False
+
+
+def test_timestamp_conv_strict_without_regex_guard(spark):
+    from avro_conversions_spark.schema.model import LogicalType
+    from avro_conversions_spark.schema.resolution import SchemaResolver, WriteType
+    from pyspark.sql import types as T
+
+    conv = SchemaResolver(strict_nullability=False).resolve(
+        WriteType(T.StringType(), format="date-time"), LogicalType("timestamp-micros")
+    )
+    bad = ["2021-01-01", "2021-1-1 0:0:0", "2021-01-01T10:11", "not-a-ts",
+           " 2021-01-01T10:11:12", "2021-01-01T25:00:00"]
+    good = ["2021-01-01T10:11:12", "2021-01-01 10:11:12",
+            "2021-01-01T10:11:12.123456", "2021-01-01T10:11:12Z",
+            "2021-01-01T10:11:12+05:30"]
+    df = spark.createDataFrame([(v,) for v in bad + good], "v string")
+    out = df.select(
+        "v",
+        conv.convert(F.col("v")).alias("ts"),
+        conv.violation(F.col("v")).alias("viol"),
+    ).collect()
+    by_v = {r.v: (r.ts, r.viol) for r in out}
+    for v in bad:
+        assert by_v[v][0] is None and by_v[v][1] is True, v
+    for v in good:
+        assert by_v[v][0] is not None and by_v[v][1] is False, v
+
+
+def test_resolver_hot_path_has_no_date_regex(spark):
+    """The compiled date conversion plan must not contain an RLike node —
+    the round-3 measurement (BENCH/BASELINE.md: ~16 µs/row, serializes the
+    job) is the why."""
+    from avro_conversions_spark.schema.model import LogicalType
+    from avro_conversions_spark.schema.resolution import SchemaResolver, WriteType
+    from pyspark.sql import types as T
+
+    conv = SchemaResolver(strict_nullability=False).resolve(
+        WriteType(T.StringType(), format="date"), LogicalType("date")
+    )
+    df = spark.createDataFrame([("2021-01-01",)], "v string")
+    plan = df.select(conv.convert(F.col("v")).alias("d"))._jdf.queryExecution().analyzed().toString()
+    assert "rlike" not in plan.lower()
+
+
+# ------------------------------------------------------------ kgram cap
+
+
+def test_kgram_hashes_capped_with_visible_flag(spark):
+    """VERDICT r3 #3: a multi-MB document must not materialize an O(len)
+    row array; the cap must be visible via kgram_truncated."""
+    from avro_conversions_spark.functions.text import (
+        KGRAM_MAX_LEN,
+        kgram_hashes,
+        kgram_truncated,
+    )
+
+    long_len = KGRAM_MAX_LEN + 50_000
+    df = spark.createDataFrame([(1,), (2,)], "doc_id int").select(
+        "doc_id",
+        F.when(F.col("doc_id") == 1, F.repeat(F.lit("ab"), long_len // 2)).otherwise(
+            F.lit("short text")
+        ).alias("text"),
+    )
+    out = df.select(
+        "doc_id",
+        F.size(kgram_hashes(F.col("text"), k=8)).alias("n_grams"),
+        kgram_truncated(F.col("text")).alias("truncated"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_grams == KGRAM_MAX_LEN - 8 + 1  # bounded, not O(len)
+    assert by_id[1].truncated is True
+    assert by_id[2].n_grams == len("short text") - 8 + 1
+    assert by_id[2].truncated is False
+
+
+def test_kgram_prefix_hashes_unchanged_by_cap(spark):
+    """Hashes over the first max_len chars are identical whether or not the
+    document overflows — the cap only truncates, never shifts."""
+    from avro_conversions_spark.functions.text import kgram_hashes
+
+    df = spark.createDataFrame([("abcdefghijklmnop",)], "text string")
+    full = df.select(kgram_hashes(F.col("text"), k=8).alias("g")).collect()[0].g
+    capped = df.select(
+        kgram_hashes(F.col("text"), k=8, max_len=12).alias("g")
+    ).collect()[0].g
+    assert capped == full[: 12 - 8 + 1]
+
+
+# ------------------------------------------------------- XML raw subtree
+
+
+_DOTTED_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="envelope">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="payXload" type="xs:string" minOccurs="0"/>
+        <xs:element name="pay.load" minOccurs="0">
+          <xs:complexType mixed="true">
+            <xs:sequence>
+              <xs:any minOccurs="0" processContents="lax"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def test_raw_subtree_tag_with_regex_metachars(spark):
+    """ADVICE r3: element names may legally contain '.'; unescaped, the
+    extraction pattern '<pay.load>' also matches '<payXload>' (which comes
+    FIRST in the document) and re-assembles the wrong subtree."""
+    from avro_conversions_spark.sources.documents import parse_xml_with_xsd
+
+    xml = (
+        "<envelope><payXload>WRONG</payXload>"
+        "<pay.load><k>RIGHT</k></pay.load></envelope>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = parse_xml_with_xsd(df, "xml", _DOTTED_XSD, "envelope").collect()[0]
+    raw = row["pay.load"]
+    assert "RIGHT" in raw and "WRONG" not in raw
+
+
+# ---------------------------------------------------------------- t-digest
+
+
+def test_tdigest_no_salt_is_repartition_invariant(spark):
+    """ADVICE r3: partition_salt=False must yield bit-identical digests
+    under different physical partitionings of the same data."""
+    from avro_conversions_spark.functions.tdigest import tdigest_quantiles
+
+    base = spark.range(0, 5000).select((F.col("id") % 97).cast("double").alias("v"))
+    q2 = tdigest_quantiles(base.repartition(2), "v", partition_salt=False)
+    q8 = tdigest_quantiles(base.repartition(8), "v", partition_salt=False)
+    assert q2 == q8
+
+
+# ------------------------------------------------------------- temp dirs
+
+
+def _tmp_count(pattern: str) -> int:
+    return len(glob.glob(os.path.join("/tmp", pattern)))
+
+
+def test_drift_queries_leak_no_temp_dirs(spark):
+    """ADVICE r3: q_stream_drift_events removed only its checkpoint dir,
+    leaking baseline/data dirs under /tmp per bench/correctness run."""
+    from avro_conversions_spark.operators.queries import (
+        q_drift_events,
+        q_stream_drift_events,
+    )
+
+    before = {
+        p: _tmp_count(p)
+        for p in ("acs_sdrift_base_*", "acs_sdrift_data_*", "acs_sdrift_ckpt_*",
+                  "acs_drift_base_*")
+    }
+    q_stream_drift_events(spark, SF001).collect()
+    q_drift_events(spark, SF001).collect()
+    after = {p: _tmp_count(p) for p in before}
+    assert after == before
