@@ -246,7 +246,14 @@ class XsdAnalyzer:
     """Parse an XSD document; build write/read type trees per root element.
     Reference entry point: xml/XsdAnalyzer.java:115-143."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, resolver: dict[str, str] | None = None):
+        """``source``: XSD document text or a file path.  ``resolver``:
+        optional ``{systemId: document-or-path}`` map for ``xs:include`` /
+        ``xs:import`` schemaLocations — the offline-friendly analogue of
+        the reference's URL-resolving ``XmlSchemaCollection``
+        (xml/XsdAnalyzer.java:57).  Locations absent from the map fall
+        back to the filesystem; anything unresolvable raises a clear
+        ValueError at analysis time (never at task runtime)."""
         s = source.strip()
         if not s.startswith("<"):
             with open(source, encoding="utf-8") as fh:
@@ -258,21 +265,58 @@ class XsdAnalyzer:
         self.simple_types: dict[str, ET.Element] = {}
         self.groups: dict[str, ET.Element] = {}
         self.attr_groups: dict[str, ET.Element] = {}
-        for ch in self.root:
+        self._register(self.root, resolver or {}, seen=set())
+        # recursion registry: named complex types AND top-level elements
+        # register before their fields build (TypeStructureBuilder docs)
+        self._built: dict[str, object] = {}
+        self._used_names: set[str] = set()
+
+    def _register(self, doc_root: ET.Element, resolver: dict[str, str], seen: set[str]) -> None:
+        """Merge one schema document's top-level named definitions into the
+        registries, resolving xs:include / xs:import transitively.  The
+        repo's model is namespace-agnostic (prefixes strip via ``_local``
+        everywhere), so imported-namespace definitions merge into the same
+        flat registries — the same effective lookup XmlSchemaCollection
+        gives the reference's walker.  First definition wins (the root
+        document shadows included duplicates); include cycles are cut by
+        the ``seen`` set."""
+        for ch in doc_root:
+            if ch.tag in (_x("include"), _x("import")):
+                loc = ch.get("schemaLocation")
+                if loc is None or loc in seen:
+                    # xs:import without schemaLocation legally relies on
+                    # out-of-band knowledge; nothing to fetch
+                    continue
+                seen.add(loc)
+                text = resolver.get(loc)
+                if text is None:
+                    import os
+
+                    if os.path.exists(loc):
+                        with open(loc, encoding="utf-8") as fh:
+                            text = fh.read()
+                    else:
+                        raise ValueError(
+                            f"cannot resolve {_local(ch.tag)} schemaLocation "
+                            f"{loc!r}: not in the resolver map and not a file"
+                        )
+                elif not text.lstrip().startswith("<"):
+                    with open(text, encoding="utf-8") as fh:
+                        text = fh.read()
+                self._register(ET.fromstring(text), resolver, seen)
+                continue
             name = ch.get("name")
             if name is None:
                 continue
-            {
+            registry = {
                 _x("element"): self.elements,
                 _x("complexType"): self.complex_types,
                 _x("simpleType"): self.simple_types,
                 _x("group"): self.groups,
                 _x("attributeGroup"): self.attr_groups,
-            }.get(ch.tag, {})[name] = ch
-        # recursion registry: named complex types AND top-level elements
-        # register before their fields build (TypeStructureBuilder docs)
-        self._built: dict[str, object] = {}
-        self._used_names: set[str] = set()
+            }.get(ch.tag)
+            if registry is not None:
+                registry.setdefault(name, ch)
 
     # ---------------------------------------------------------------- naming
 
@@ -659,9 +703,11 @@ def to_write_type(xt) -> "object":
     return build(xt, Card.REQUIRED, {})
 
 
-def xsd_to_write_type(source: str, root_element: str):
-    return to_write_type(XsdAnalyzer(source).type_of(root_element))
+def xsd_to_write_type(source: str, root_element: str, resolver: dict[str, str] | None = None):
+    return to_write_type(XsdAnalyzer(source, resolver).type_of(root_element))
 
 
-def infer_read_schema_from_xsd(source: str, root_element: str) -> ReadType:
-    return to_read_type(XsdAnalyzer(source).type_of(root_element))
+def infer_read_schema_from_xsd(
+    source: str, root_element: str, resolver: dict[str, str] | None = None
+) -> ReadType:
+    return to_read_type(XsdAnalyzer(source, resolver).type_of(root_element))

@@ -279,6 +279,7 @@ def parse_xml_with_xsd(
     read: RecordType | None = None,
     binary_encoding: str = "base16",
     keep_cols: list[str] | None = None,
+    xsd_resolver: dict[str, str] | None = None,
 ) -> DataFrame:
     """XML parsing with runtime XSD STRUCTURAL validation
     (XmlAsAvroParser.java:263-278: the reference SAX-validates each
@@ -312,7 +313,7 @@ def parse_xml_with_xsd(
         to_read_type,
     )
 
-    xt = XsdAnalyzer(xsd_source).type_of(root_element)
+    xt = XsdAnalyzer(xsd_source, xsd_resolver).type_of(root_element)
     if not isinstance(xt, XStruct):
         raise ValueError(f"root element {root_element!r} is not a structure")
     if read is None:

@@ -250,3 +250,131 @@ def test_drift_queries_leak_no_temp_dirs(spark):
     q_drift_events(spark, SF001).collect()
     after = {p: _tmp_count(p) for p in before}
     assert after == before
+
+
+# ------------------------------------------------- XSD include / import
+
+
+_COMMON_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:acme:order">
+  <xs:simpleType name="StatusType">
+    <xs:restriction base="xs:string">
+      <xs:enumeration value="NEW"/>
+      <xs:enumeration value="SHIPPED"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:complexType name="AddressType">
+    <xs:sequence>
+      <xs:element name="city" type="xs:string"/>
+      <xs:element name="zip" type="xs:string" minOccurs="0"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:schema>
+"""
+
+_VENDOR_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:acme:vendor">
+  <xs:complexType name="VendorType">
+    <xs:sequence>
+      <xs:element name="vendorName" type="xs:string"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:schema>
+"""
+
+_MAIN_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:v="urn:acme:vendor"
+           targetNamespace="urn:acme:order">
+  <xs:include schemaLocation="common.xsd"/>
+  <xs:import namespace="urn:acme:vendor" schemaLocation="vendor.xsd"/>
+  <xs:element name="order">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="status" type="StatusType"/>
+        <xs:element name="shipTo" type="AddressType"/>
+        <xs:element name="vendor" type="v:VendorType" minOccurs="0"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+_RESOLVER = {"common.xsd": _COMMON_XSD, "vendor.xsd": _VENDOR_XSD}
+
+
+def test_xsd_include_and_import_resolve_types():
+    """VERDICT r3 #4: multi-file XSDs (xs:include same-namespace +
+    xs:import cross-namespace) resolve through a {systemId: document}
+    map, mirroring XmlSchemaCollection (xml/XsdAnalyzer.java:57)."""
+    from avro_conversions_spark.schema.xsd import Card, XsdAnalyzer, XStruct
+
+    xt = XsdAnalyzer(_MAIN_XSD, _RESOLVER).type_of("order")
+    assert isinstance(xt, XStruct)
+    by_name = {f.name: f for f in xt.fields}
+    assert set(by_name) == {"status", "shipTo", "vendor"}
+    # included enum
+    assert tuple(by_name["status"].type.symbols) == ("NEW", "SHIPPED")
+    # included complex type
+    ship = by_name["shipTo"].type
+    assert {f.name for f in ship.fields} == {"city", "zip"}
+    # imported (cross-namespace) complex type
+    vend = by_name["vendor"].type
+    assert by_name["vendor"].card == Card.OPTIONAL
+    assert [f.name for f in vend.fields] == ["vendorName"]
+
+
+def test_xsd_multifile_resolves_against_avsc(spark):
+    """The multi-file schema drives the full parse path against a declared
+    .avsc read schema — the reference's end-to-end usage."""
+    from avro_conversions_spark.schema import from_avsc
+    from avro_conversions_spark.sources.documents import parse_xml_with_xsd
+
+    avsc = """
+    {"type": "record", "name": "order", "fields": [
+      {"name": "status", "type": {"type": "enum", "name": "Status",
+        "symbols": ["NEW", "SHIPPED"]}},
+      {"name": "shipTo", "type": {"type": "record", "name": "Address",
+        "fields": [{"name": "city", "type": "string"},
+                   {"name": "zip", "type": ["null", "string"], "default": null}]}}
+    ]}
+    """
+    read, _ = from_avsc(avsc)
+    xml = "<order><status>NEW</status><shipTo><city>Oslo</city></shipTo></order>"
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = parse_xml_with_xsd(
+        df, "xml", _MAIN_XSD, "order", read=read, xsd_resolver=_RESOLVER
+    ).collect()[0]
+    assert row.status == "NEW"
+    assert row.shipTo.city == "Oslo" and row.shipTo.zip is None
+    assert row._violations == []
+
+
+def test_xsd_unresolvable_location_raises_clearly():
+    from avro_conversions_spark.schema.xsd import XsdAnalyzer
+
+    with pytest.raises(ValueError, match="schemaLocation 'common.xsd'"):
+        XsdAnalyzer(_MAIN_XSD, {"vendor.xsd": _VENDOR_XSD})
+
+
+def test_xsd_include_cycle_terminates():
+    from avro_conversions_spark.schema.xsd import XsdAnalyzer, XStruct
+
+    a = """
+    <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:include schemaLocation="b.xsd"/>
+      <xs:element name="root" type="TB"/>
+    </xs:schema>
+    """
+    b = """
+    <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:include schemaLocation="a.xsd"/>
+      <xs:complexType name="TB">
+        <xs:sequence><xs:element name="x" type="xs:string"/></xs:sequence>
+      </xs:complexType>
+    </xs:schema>
+    """
+    xt = XsdAnalyzer(a, {"a.xsd": a, "b.xsd": b}).type_of("root")
+    assert isinstance(xt, XStruct) and [f.name for f in xt.fields] == ["x"]
