@@ -185,6 +185,14 @@ def _md_doc(field_doc: str | None, type_doc: str | None) -> str:
     return "\n".join(parts).replace("<", "&lt;").replace("\n", "<br/>")
 
 
+def document_schema_rows(schema) -> list[tuple[str, str, str]]:
+    """The (path, type, documentation) rows behind
+    ``document_schema_markdown`` — same walk, queryable as data (the
+    driver query `schema_docs_markdown` turns these into a DataFrame
+    checked against a literal-rows oracle)."""
+    return _document_rows(schema)
+
+
 def document_schema_markdown(schema, title: str | None = None) -> str:
     """Markdown table of (path, type, documentation) rows with the
     reference's exact header and path markers (AvroSchemaUtils.java:37-100,
@@ -195,9 +203,15 @@ def document_schema_markdown(schema, title: str | None = None) -> str:
 
     Accepts a Spark StructType (docs from field metadata 'comment') or a
     ReadType RecordType (docs from the Avro model)."""
+    lines = [f"# {title}", "", ""] if title else []
+    out = _document_rows(schema)
+    body = "".join(f"| {p} | {t} | {d} |\n" for p, t, d in out)
+    return "\n".join(lines) + _MD_HEADER + body
+
+
+def _document_rows(schema) -> list[tuple[str, str, str]]:
     from avro_conversions_spark.schema import model as M
 
-    lines = [f"# {title}", "", ""] if title else []
     out: list[tuple[str, str, str]] = []
     seen: set[int] = set()
 
@@ -259,8 +273,7 @@ def document_schema_markdown(schema, title: str | None = None) -> str:
         walk_spark(schema, "", None, False)
     else:
         walk_read(schema, "", None, False)
-    body = "".join(f"| {p} | {t} | {d} |\n" for p, t, d in out)
-    return "\n".join(lines) + _MD_HEADER + body
+    return out
 
 
 def validate_unique_names(schema: T.StructType) -> None:

@@ -123,8 +123,20 @@ def extract_features(
                 }
             )
 
+    # NOTE: maxRecordsPerBatch is a session-wide config; setting it here
+    # leaked into every later pandas exchange on the session (and exposed
+    # a chunk-ordering bug in the stateful validator — now fixed, but the
+    # leak itself was wrong). Media pipelines should size batches at the
+    # session level; here we only LOWER the cap if the session's is larger,
+    # and document the session-wide effect.
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_records))
+    current = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    if batch_records < current:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_records)
+        )
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 

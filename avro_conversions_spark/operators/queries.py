@@ -175,6 +175,30 @@ def q_hll_ndv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.hll_estimate(sk)
 
 
+def q_hll_gate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL QUALITY CONTRACT as an oracle-checkable query (VERDICT r3
+    #6): per column, the exact NDV (SQL-reproducible) plus the ±5% gate
+    verdict on the engine's HLL estimate. The estimate itself stays
+    engine-specific (rows-only in hll_ndv_lineitem); the gate and the
+    exact side hash-match the oracle, so a drifting sketch breaks the
+    correctness gate, not just a pytest."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey"]
+    est = stats.hll_estimate(stats.hll_sketches(li, cols))
+    exact = stats.exact_ndv_long(li, cols)
+    return (
+        exact.join(est, "column")
+        .select(
+            F.col("column").alias("col_name"),
+            F.col("n_distinct").cast("long").alias("exact_ndv"),
+            (
+                F.abs(F.col("ndv_estimate") - F.col("n_distinct"))
+                <= 0.05 * F.col("n_distinct")
+            ).alias("within_5pct"),
+        )
+    )
+
+
 def q_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -281,6 +305,77 @@ def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select("doc_id", F.explode("_fps").alias("fp"), "truncated")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end through the REAL Spark
+    plumbing (VERDICT r3 #5): binary payload column -> Arrow-batched
+    mapInPandas -> typed feature rows. The payloads are deterministic
+    (UTF-8 bytes of each document's text prefix; the corpus is pure
+    ASCII), so DuckDB reproduces the fake decoder's byte arithmetic
+    exactly. Only the integer-exact features project into the oracle
+    compare; the rounded moments (mean/variance) are pytest-gated."""
+    from avro_conversions_spark import multimodal
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", 3) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("feature")[0].cast("long").alias("f_len"),
+        F.col("feature")[2].cast("int").alias("byte_first"),
+        F.col("feature")[3].cast("int").alias("byte_last"),
+        F.col("feature")[4].cast("int").alias("byte_max"),
+        F.col("feature")[5].cast("int").alias("byte_min"),
+        F.col("feature")[7].cast("int").alias("is_image"),
+    )
+
+
+_DOCS_FIXTURE_AVSC = """
+{"type": "record", "name": "Envelope", "doc": "A message envelope",
+ "fields": [
+  {"name": "id", "type": "long", "doc": "Unique id"},
+  {"name": "source", "type": ["null", "string"], "default": null},
+  {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+     "precision": 10, "scale": 2}},
+  {"name": "created", "type": {"type": "int", "logicalType": "date"}},
+  {"name": "status", "type": {"type": "enum", "name": "Status",
+     "symbols": ["NEW", "DONE"], "doc": "Processing state"}},
+  {"name": "tags", "type": {"type": "array", "items": "string"}},
+  {"name": "address", "type": {"type": "record", "name": "Address",
+     "doc": "Postal address",
+     "fields": [{"name": "city", "type": "string"},
+                {"name": "zip", "type": ["null", "string"], "default": null}]}},
+  {"name": "billing", "type": ["null", "Address"], "default": null,
+   "doc": "Optional billing address"}
+]}
+"""
+
+
+def q_schema_docs_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 schema documentation as a driver query (VERDICT r3 #5): the
+    (path, type, doc) rows of the markdown generator
+    (AvroSchemaUtils.java:37-100) over a fixture .avsc covering nullable
+    '?', array '[]', decimal/date logical names, named-type re-reference,
+    and doc joining. Oracle = literal expected rows (the
+    SchemaManipulatorTest pattern)."""
+    from avro_conversions_spark.manipulate import document_schema_rows
+    from avro_conversions_spark.schema import from_avsc
+
+    read, _ = from_avsc(_DOCS_FIXTURE_AVSC)
+    rows = [(i,) + r for i, r in enumerate(document_schema_rows(read))]
+    return spark.createDataFrame(
+        rows, "row_idx int, path string, type_name string, doc string"
+    )
+
+
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -310,6 +405,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
+
+
+def q_ann_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-LSH QUALITY CONTRACT as an oracle-checkable query (VERDICT
+    r3 #6): mean recall@5 of the seeded hyperplane-LSH top-k against the
+    exact kNN, gated at >= 0.8. Run with the quality-tuned configuration
+    (24 planes, 3-bit bands: measured recall 0.94 at sf0.01) — the
+    default scale-tuned config (16 planes, 4-bit bands: fewer, larger
+    candidate buckets) trades recall for candidate-set size and is gated
+    at >= 0.5 in pytest on this clusterless random-embedding testdata.
+    The LSH neighbor lists stay rows-only (ann_lsh); here the n_queries
+    count and the gate verdict hash-match the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5).select("qid", "nid")
+    lsh = similarity.lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=24, band_size=3
+    ).select("qid", "nid")
+    per_q = (
+        exact.join(lsh, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    recall = (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(per_q, "qid", "left")
+        .select((F.coalesce("hits", F.lit(0)) / F.col("k")).alias("recall"))
+    )
+    return recall.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("recall") >= 0.8).alias("recall_at_5_ok"),
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +1000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_lineitem": q_quantiles_lineitem,
     "ndv_lineitem": q_ndv_lineitem,
     "hll_ndv_lineitem": q_hll_ndv_lineitem,
+    "hll_gate_lineitem": q_hll_gate_lineitem,
     "windowed_counts_events": q_windowed_counts_events,
     "dedup_events": q_dedup_events,
     "exact_dups_documents": q_exact_dups_documents,
@@ -884,8 +1013,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_documents": q_winnow_documents,
     "langid_documents": q_langid_documents,
     "quality_documents": q_quality_documents,
+    "multimodal_features": q_multimodal_features,
+    "schema_docs_markdown": q_schema_docs_markdown,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_gate": q_ann_lsh_gate,
     "ann_ivf": q_ann_ivf,
     "cube_lineitem": q_cube_lineitem,
     "semi_join_orders": q_semi_join_orders,
@@ -1116,6 +1248,54 @@ WITH g AS (
   FROM g
 )
 SELECT doc_id, unnest(fps) AS fp, truncated FROM w
+""",
+    "hll_gate_lineitem": """
+SELECT col_name, exact_ndv, TRUE AS within_5pct FROM (
+  SELECT 'l_orderkey' AS col_name, count(DISTINCT l_orderkey)::BIGINT AS exact_ndv FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', count(DISTINCT l_partkey)::BIGINT FROM lineitem
+)
+""",
+    "ann_lsh_gate": """
+SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, TRUE AS recall_at_5_ok
+FROM embeddings WHERE vec_id < 10
+""",
+    "multimodal_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         substr(text, 1, 64) AS s
+  FROM documents WHERE doc_id < 200
+), b AS (
+  SELECT media_id, kind,
+         [ascii(s[i:i]) FOR i IN range(1, len(s) + 1)] AS bytes
+  FROM m
+)
+SELECT media_id, kind,
+       len(bytes)::BIGINT AS n_bytes,
+       len(bytes)::BIGINT AS f_len,
+       bytes[1]::INT AS byte_first,
+       bytes[-1]::INT AS byte_last,
+       list_max(bytes)::INT AS byte_max,
+       list_min(bytes)::INT AS byte_min,
+       (kind = 'image')::INT AS is_image
+FROM b
+""",
+    "schema_docs_markdown": """
+SELECT * FROM (VALUES
+  (0::INT, '', 'record', 'Type: A message envelope'),
+  (1::INT, 'id', 'long', 'Unique id'),
+  (2::INT, 'source?', 'string', ''),
+  (3::INT, 'amount', 'decimal(10,2)', ''),
+  (4::INT, 'created', 'date', ''),
+  (5::INT, 'status', 'enum', ''),
+  (6::INT, 'tags[]', 'string', ''),
+  (7::INT, 'address', 'record', 'Type: Postal address'),
+  (8::INT, 'address.city', 'string', ''),
+  (9::INT, 'address.zip?', 'string', ''),
+  (10::INT, 'billing?', 'record', 'Optional billing address<br/>Type: Postal address')
+) AS t(row_idx, path, type_name, doc)
 """,
     "langid_documents": rf"""
 WITH s AS (

@@ -57,7 +57,17 @@ def _validate_conversation(
         return
     max_idx, last_ts_us, n_turns = state.get if state.exists else (-1, -1, 0)
     out: list[tuple[str, int, str, str]] = []
-    for pdf in pdfs:
+    # A group's rows arrive as MULTIPLE Arrow chunks whenever the
+    # conversation straddles a batch boundary (maxRecordsPerBatch).
+    # Sorting per-chunk made the emitted violations depend on physical
+    # batching — concat the group's chunks and sort ONCE so results are
+    # batch-size-invariant (round-4 bug: a session with a small media
+    # batch cap produced 1976 rows where the default produced 251).
+    # Memory is bounded by max conversation length, same as the batch
+    # engine's window.
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["turn_idx"])
         for idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)

@@ -54,6 +54,9 @@ HEADLINE = [
     "ref_sortmerge_lineitem",
     "stream_drift_events",
     "minhash_rowsig_documents",
+    "hll_gate_lineitem",
+    "ann_lsh_gate",
+    "multimodal_features",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

@@ -378,3 +378,65 @@ def test_xsd_include_cycle_terminates():
     """
     xt = XsdAnalyzer(a, {"a.xsd": a, "b.xsd": b}).type_of("root")
     assert isinstance(xt, XStruct) and [f.name for f in xt.fields] == ["x"]
+
+
+# ----------------------------------------------------------------- counts
+
+
+def test_documented_pytest_count_matches_collected():
+    """VERDICT r3 #8: README's test count drifted twice; derive it from
+    actual pytest collection so the off-by-one cannot recur."""
+    import re
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    assert m, f"cannot parse collection summary from: {out[-200:]}"
+    collected = int(m.group(1))
+    with open("/root/repo/README.md", encoding="utf-8") as fh:
+        readme = fh.read()
+    dm = re.search(r"(\d+) pytest cases", readme)
+    assert dm, "README missing the 'N pytest cases' marker"
+    assert int(dm.group(1)) == collected, (
+        f"README claims {dm.group(1)} pytest cases; collection finds {collected}"
+    )
+
+
+def test_new_gate_queries_registered_with_oracles():
+    from avro_conversions_spark.operators.queries import ORACLES, QUERIES
+
+    for name in ("hll_gate_lineitem", "ann_lsh_gate", "multimodal_features",
+                 "schema_docs_markdown"):
+        assert name in QUERIES and name in ORACLES
+
+
+# ------------------------------------------- stateful batch invariance
+
+
+def test_stateful_validator_invariant_to_arrow_batch_size(spark):
+    """Round-4 bug: the stateful validator sorted each Arrow CHUNK
+    independently, so a conversation straddling a batch boundary processed
+    turns out of order — output depended on maxRecordsPerBatch (physical
+    batching). Results must be identical under a tiny cap."""
+    from avro_conversions_spark.operators.queries import q_stateful_stream_transcripts
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    try:
+        base = sorted(
+            map(tuple, q_stateful_stream_transcripts(spark, SF001).collect())
+        )
+        spark.conf.set(key, "16")
+        tiny = sorted(
+            map(tuple, q_stateful_stream_transcripts(spark, SF001).collect())
+        )
+    finally:
+        spark.conf.set(key, before)
+    assert base == tiny
+    assert len(base) > 0
