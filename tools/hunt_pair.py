@@ -30,7 +30,9 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 DATA = os.environ.get("ACS_SCALING_DATA", "/tmp/bench_scaling_transcripts")
-OUT = os.path.join(REPO, "BENCH", "hunt_r3.jsonl")
+OUT = os.environ.get(
+    "ACS_HUNT_OUT", os.path.join(REPO, "BENCH", "hunt_r3.jsonl")
+)
 GATE = 7.2  # effective cores of 8 (round-2 post-validated hunt used 7.2)
 TARGET = 0.8
 # a calibration taken immediately after a Spark JVM exits consistently
