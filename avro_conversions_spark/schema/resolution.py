@@ -392,7 +392,12 @@ def decimal_roundtrip_ok(c: Column, p: int, s: int, from_string: bool = False) -
         trailing = F.length(digits) - F.length(F.regexp_replace(digits, "0+$", ""))
         sig_len = F.length(F.regexp_replace(digits, "^0+", ""))
         k = exp - F.length(frac)
-        eff_frac = F.greatest(-k - trailing, F.lit(0))
+        # an all-zero digit string IS zero: zero has no fraction and no
+        # integer digits regardless of exponent ('.0e-6' fits any (p,s);
+        # found by the hypothesis property suite)
+        eff_frac = F.when(sig_len == 0, F.lit(0)).otherwise(
+            F.greatest(-k - trailing, F.lit(0))
+        )
         eff_int = F.when(sig_len == 0, F.lit(0)).otherwise(
             F.greatest(sig_len + k, F.lit(0))
         )
