@@ -738,6 +738,54 @@ def q_stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(data_dir, ignore_errors=True)
 
 
+def q_stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (the training-data ingest shape): documents
+    staged as TWO files -> maxFilesPerTrigger=1 -> two micro-batches, so
+    the dedup state must carry ACROSS batches; Spark's stateful
+    dropDuplicates keeps one row per normalization fingerprint. Output is
+    the surviving fingerprint SET (deterministic regardless of which
+    physical row won within a batch); oracle = DISTINCT fingerprints in
+    batch SQL."""
+    import tempfile
+    import uuid
+
+    from avro_conversions_spark.streaming.dedup import (
+        streaming_exact_dedup,
+        with_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    data_dir = tempfile.mkdtemp(prefix="acs_sdedup_data_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(data_dir)
+        schema = spark.read.parquet(data_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(data_dir)
+        )
+        deduped = streaming_exact_dedup(
+            with_fingerprint(stream), key_cols=("fingerprint",)
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.select(F.col("fingerprint").alias("fp"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the memory sink holds first-occurrence rows; the fp set is the
+        # deterministic contract — materialize driver-side before the temp
+        # dir disappears
+        rows = [(r.fp,) for r in spark.table(name).collect()]
+        return spark.createDataFrame(rows, "fp string")
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+
 def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming as a driver query: a REAL Structured Streaming run —
     file source over the events parquet, the batch row constraints applied
@@ -1031,6 +1079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_xml_xsd_events": q_parse_xml_xsd_events,
     "stream_windowed_violations": q_stream_windowed_violations,
     "stream_drift_events": q_stream_drift_events,
+    "stream_dedup_documents": q_stream_dedup_documents,
     "stateful_stream_transcripts": q_stateful_stream_transcripts,
     "verdicts_partitioned": q_verdicts_partitioned,
     "except_events": q_except_events,
@@ -1189,6 +1238,12 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """,
     "fingerprint_documents": r"""
 SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "stream_dedup_documents": r"""
+SELECT DISTINCT
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                                '\s+', ' ', 'g'))) AS fp
 FROM documents

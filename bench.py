@@ -57,6 +57,7 @@ HEADLINE = [
     "hll_gate_lineitem",
     "ann_lsh_gate",
     "multimodal_features",
+    "stream_dedup_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

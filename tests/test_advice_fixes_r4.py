@@ -485,3 +485,80 @@ def test_minhash_signature_unchanged_by_staging_guard(spark):
     again = {r.doc_id: r.minhash_sig for r in dedup.with_minhash_signature(
         df, "text", num_hashes=4, hash_fn="md5").collect()}
     assert again[1] == sig
+
+
+# ------------------------------------------------------ streaming dedup
+
+
+def test_streaming_dedup_drops_duplicates_across_micro_batches(spark, tmp_path):
+    """The dedup state must carry across micro-batches: a fingerprint
+    first seen in batch 1 suppresses its duplicate arriving in batch 2."""
+    import uuid
+
+    from avro_conversions_spark.streaming.dedup import (
+        streaming_exact_dedup,
+        with_fingerprint,
+    )
+
+    d = str(tmp_path / "docs")
+    # two explicit files -> maxFilesPerTrigger=1 -> two batches
+    spark.createDataFrame(
+        [(1, "Alpha beta gamma."), (2, "unique one")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(
+        [(3, "alpha  beta GAMMA"), (4, "unique two")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(d + "/f2")
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(with_fingerprint(stream))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    # doc 3 normalizes to doc 1's fingerprint and must be dropped even
+    # though it arrives in a different micro-batch
+    assert len(out) == 3
+    fps = {r.fingerprint for r in out}
+    assert len(fps) == 3
+
+
+def test_streaming_dedup_watermark_mode_runs(spark, tmp_path):
+    """Bounded-state policy: dropDuplicatesWithinWatermark compiles and
+    dedups within the horizon on a watermarked event-time stream."""
+    import datetime
+    import uuid
+
+    from avro_conversions_spark.streaming.dedup import streaming_exact_dedup
+
+    d = str(tmp_path / "ev")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("k1", t0),
+        ("k1", t0 + datetime.timedelta(minutes=1)),  # dup within horizon
+        ("k2", t0 + datetime.timedelta(minutes=2)),
+    ]
+    spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(d)
+    name = f"sdedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream, key_cols=("k",), watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.k for r in spark.table(name).collect()} == {"k1", "k2"}
+    assert spark.table(name).count() == 2
