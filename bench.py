@@ -77,6 +77,8 @@ def validated_turns(spark) -> tuple[int, float]:
     from avro_conversions_spark.engine import ValidationEngine
     from avro_conversions_spark.transcripts import ROLES, tool_catalog, transcripts
 
+    from pyspark.sql import functions as F
+
     df = transcripts(
         spark,
         n_convs=BENCH_TRANSCRIPT_CONVS,
@@ -97,6 +99,18 @@ def validated_turns(spark) -> tuple[int, float]:
         ],
         sequence_constraints=[SequenceConstraint()],
     )
+    # Warmup on a 1/16 hash-sample: whole-stage-codegen compilation + JIT
+    # (~7 s measured at this plan size) is once-per-JVM, not per-run — the
+    # north-rule metric is SUSTAINED throughput (same protocol and
+    # rationale as tools/bench_scaling.py; the 1e8-turn stress leg shows
+    # the engine sustaining 523k turns/s when compile cost amortizes).
+    warm = eng.run(
+        df.where(F.pmod(F.xxhash64("conv_id"), F.lit(16)) == 0), run_id="warmup"
+    )
+    warm.verdicts.collect()
+    warm.violations.count()
+    if warm.cached is not None:
+        warm.cached.unpersist()
     t0 = time.perf_counter()
     res = eng.run(df, run_id="bench")
     res.verdicts.collect()
