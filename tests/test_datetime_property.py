@@ -1,0 +1,72 @@
+"""Property-based check of the regex-free date converter against Python's
+``datetime.strptime`` + ISO rules as an independent strictness oracle.
+
+The round-4 change removed the ``rlike`` guards from ``_date_conv`` /
+``_timestamp_conv``; these properties pin that ``try_to_date`` alone (and
+the positional-probe + try_cast timestamp path) accepts EXACTLY the
+strict forms.
+
+Ground truth for dates: accepted iff the string is exactly
+``yyyy-MM-dd`` with 4/2/2 digits and a real calendar date.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def py_date_ok(v: str) -> bool:
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+        return False
+    try:
+        datetime.date(int(v[0:4]), int(v[5:7]), int(v[8:10]))
+    except ValueError:
+        return False
+    return True
+
+
+@st.composite
+def datey_strings(draw) -> str:
+    """Mostly-almost-valid date strings: correct and corrupted widths,
+    out-of-range fields, junk separators/suffixes."""
+    y = draw(st.integers(min_value=0, max_value=9999))
+    m = draw(st.integers(min_value=0, max_value=19))
+    d = draw(st.integers(min_value=0, max_value=39))
+    yw = draw(st.sampled_from([2, 4, 5]))
+    mw = draw(st.sampled_from([1, 2]))
+    dw = draw(st.sampled_from([1, 2]))
+    sep = draw(st.sampled_from(["-", "-", "-", "/", ""]))
+    suffix = draw(st.sampled_from(["", "", "", "x", " ", "T00:00:00"]))
+    prefix = draw(st.sampled_from(["", "", "", " ", "+"]))
+    return f"{prefix}{y:0{yw}d}{sep}{m:0{mw}d}{sep}{d:0{dw}d}{suffix}"
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(vals=st.lists(datey_strings(), min_size=1, max_size=200))
+def test_date_converter_matches_python_strictness(spark, vals):
+    from avro_conversions_spark.schema.model import LogicalType
+    from avro_conversions_spark.schema.resolution import SchemaResolver, WriteType
+    from pyspark.sql import types as T
+
+    conv = SchemaResolver(strict_nullability=False).resolve(
+        WriteType(T.StringType(), format="date"), LogicalType("date")
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        "v",
+        conv.convert(F.col("v")).alias("d"),
+        conv.violation(F.col("v")).alias("viol"),
+    ).collect()
+    for r in got:
+        expected = py_date_ok(r.v)
+        assert (r.d is not None) == expected, (r.v, r.d)
+        assert r.viol == (not expected), r.v
+        if expected:
+            assert str(r.d) == r.v  # value fidelity, not just acceptance
