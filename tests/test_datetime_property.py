@@ -70,3 +70,68 @@ def test_date_converter_matches_python_strictness(spark, vals):
         assert r.viol == (not expected), r.v
         if expected:
             assert str(r.d) == r.v  # value fidelity, not just acceptance
+
+
+def py_ts_ok(v: str) -> bool:
+    """Strict prefix yyyy-MM-dd{T, }HH:mm:ss + optional .frac + optional
+    zone (offset or name — Spark's cast accepts zone ids; the positional
+    guard only pins the 19-char prefix shape)."""
+    m = re.match(
+        r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})", v
+    )
+    if not m or v != v.strip() or len(v) < 19:
+        return False
+    # structural probes the guard enforces
+    if not (v[4] == "-" and v[7] == "-" and v[10] in "T " and v[13] == ":" and v[16] == ":"):
+        return False
+    y, mo, d, h, mi, s = map(int, m.groups())
+    try:
+        datetime.datetime(y, mo, d, h, mi, s)
+    except ValueError:
+        return False
+    rest = v[19:]
+    if rest == "":
+        return True
+    # fraction and/or offset; validated by the cast — mirror the common
+    # accepted shapes, reject everything else in the generator's alphabet
+    return bool(re.fullmatch(r"(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?", rest))
+
+
+@st.composite
+def tsy_strings(draw) -> str:
+    y = draw(st.integers(min_value=1900, max_value=2100))
+    mo = draw(st.integers(min_value=0, max_value=13))
+    d = draw(st.integers(min_value=0, max_value=32))
+    h = draw(st.integers(min_value=0, max_value=25))
+    mi = draw(st.integers(min_value=0, max_value=61))
+    s = draw(st.integers(min_value=0, max_value=61))
+    mw = draw(st.sampled_from([1, 2]))
+    sep = draw(st.sampled_from(["T", " ", "x"]))
+    frac = draw(st.sampled_from(["", "", ".1", ".123456"]))
+    zone = draw(st.sampled_from(["", "", "Z", "+05:30", "-0800"]))
+    prefix = draw(st.sampled_from(["", "", " "]))
+    return f"{prefix}{y:04d}-{mo:0{mw}d}-{d:02d}{sep}{h:02d}:{mi:02d}:{s:02d}{frac}{zone}"
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(vals=st.lists(tsy_strings(), min_size=1, max_size=150))
+def test_timestamp_converter_matches_strict_prefix_rules(spark, vals):
+    from avro_conversions_spark.schema.model import LogicalType
+    from avro_conversions_spark.schema.resolution import SchemaResolver, WriteType
+    from pyspark.sql import types as T
+
+    conv = SchemaResolver(strict_nullability=False).resolve(
+        WriteType(T.StringType(), format="date-time"), LogicalType("timestamp-micros")
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        "v",
+        conv.convert(F.col("v")).alias("ts"),
+        conv.violation(F.col("v")).alias("viol"),
+    ).collect()
+    for r in got:
+        expected = py_ts_ok(r.v)
+        assert (r.ts is not None) == expected, (r.v, r.ts)
+        assert r.viol == (not expected), r.v
