@@ -104,39 +104,36 @@ def extract_features(
     batch_records: int = 128,
     decoder: Callable[[str, bytes], list[float]] | None = None,
 ) -> DataFrame:
-    """mapInPandas feature extraction over media rows. Arrow batches are
-    capped at ``batch_records`` rows so blob batches stay bounded."""
+    """mapInPandas feature extraction over media rows. Decoded output per
+    chunk is bounded by re-slicing each incoming Arrow batch to
+    ``batch_records`` rows INSIDE the worker — the session-wide
+    ``arrow.maxRecordsPerBatch`` conf is never touched (an earlier version
+    lowered it permanently, degrading every later pandas/Arrow exchange in
+    the session to tiny batches — round-4 ADVICE).  The inbound payload
+    batch is still sized by the session conf; the local re-chunk bounds
+    the decode AMPLIFICATION (features can be much larger than payload
+    bytes), which is the memory that matters."""
     decode = decoder or (_decode_fake if fake else _decode_stub)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [float(x) for x in decode(k, p)]
-                for k, p in zip(pdf["kind"], pdf["payload"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
-                    "feature": feats,
-                }
-            )
+            for start in range(0, len(pdf), batch_records):
+                chunk = pdf.iloc[start : start + batch_records]
+                feats = [
+                    [float(x) for x in decode(k, p)]
+                    for k, p in zip(chunk["kind"], chunk["payload"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "n_bytes": [
+                            len(p) if p is not None else None for p in chunk["payload"]
+                        ],
+                        "feature": feats,
+                    }
+                )
 
-    # NOTE: maxRecordsPerBatch is a session-wide config; setting it here
-    # leaked into every later pandas exchange on the session (and exposed
-    # a chunk-ordering bug in the stateful validator — now fixed, but the
-    # leak itself was wrong). Media pipelines should size batches at the
-    # session level; here we only LOWER the cap if the session's is larger,
-    # and document the session-wide effect.
-    spark = df.sparkSession
-    current = int(
-        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    )
-    if batch_records < current:
-        spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_records)
-        )
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 

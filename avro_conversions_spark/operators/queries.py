@@ -781,6 +781,11 @@ def q_stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic contract — materialize driver-side before the temp
         # dir disappears
         rows = [(r.fp,) for r in spark.table(name).collect()]
+        # the memory sink registers a cached temp view; drop it so repeated
+        # bench/correctness runs in one session don't accumulate tables
+        # (round-4 ADVICE)
+        q.stop()
+        spark.catalog.dropTempView(name)
         return spark.createDataFrame(rows, "fp string")
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -823,12 +828,18 @@ def q_stream_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    out = spark.table(name).select(
         "window_start",
         "window_end",
         F.col("constraint").alias("check_name"),
         "violation_count",
     )
+    # materialize then drop the memory-sink temp view so repeated runs in
+    # one session don't accumulate cached tables (round-4 ADVICE pattern)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return result
 
 
 # per-process staging paths: the oracle SQL embeds the path at import
@@ -874,7 +885,11 @@ def q_stateful_stream_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    sunk = spark.table(name)
+    result = spark.createDataFrame(sunk.collect(), sunk.schema)
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def q_verdicts_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,10 +254,18 @@ class XsdAnalyzer:
         (xml/XsdAnalyzer.java:57).  Locations absent from the map fall
         back to the filesystem; anything unresolvable raises a clear
         ValueError at analysis time (never at task runtime)."""
+        import os
+
         s = source.strip()
+        base_dir: str | None = None
         if not s.startswith("<"):
             with open(source, encoding="utf-8") as fh:
                 s = fh.read()
+            # relative xs:include/xs:import schemaLocations resolve against
+            # the including document's directory, like the reference's
+            # URL-based XmlSchemaCollection — not the process CWD
+            # (round-4 ADVICE)
+            base_dir = os.path.dirname(os.path.abspath(source))
         self.root = ET.fromstring(s)
         self.target_ns = self.root.get("targetNamespace", "")
         self.elements: dict[str, ET.Element] = {}
@@ -265,13 +273,19 @@ class XsdAnalyzer:
         self.simple_types: dict[str, ET.Element] = {}
         self.groups: dict[str, ET.Element] = {}
         self.attr_groups: dict[str, ET.Element] = {}
-        self._register(self.root, resolver or {}, seen=set())
+        self._register(self.root, resolver or {}, seen=set(), base_dir=base_dir)
         # recursion registry: named complex types AND top-level elements
         # register before their fields build (TypeStructureBuilder docs)
         self._built: dict[str, object] = {}
         self._used_names: set[str] = set()
 
-    def _register(self, doc_root: ET.Element, resolver: dict[str, str], seen: set[str]) -> None:
+    def _register(
+        self,
+        doc_root: ET.Element,
+        resolver: dict[str, str],
+        seen: set[str],
+        base_dir: str | None = None,
+    ) -> None:
         """Merge one schema document's top-level named definitions into the
         registries, resolving xs:include / xs:import transitively.  The
         repo's model is namespace-agnostic (prefixes strip via ``_local``
@@ -279,7 +293,13 @@ class XsdAnalyzer:
         flat registries — the same effective lookup XmlSchemaCollection
         gives the reference's walker.  First definition wins (the root
         document shadows included duplicates); include cycles are cut by
-        the ``seen`` set."""
+        the ``seen`` set.  ``base_dir`` is the directory of THIS document
+        when it came from a file: relative schemaLocations resolve against
+        it first (CWD-relative kept as a fallback for back-compat), and
+        each included file's own directory becomes the base for ITS
+        includes."""
+        import os
+
         for ch in doc_root:
             if ch.tag in (_x("include"), _x("import")):
                 loc = ch.get("schemaLocation")
@@ -288,22 +308,35 @@ class XsdAnalyzer:
                     # out-of-band knowledge; nothing to fetch
                     continue
                 seen.add(loc)
+                child_dir = base_dir
                 text = resolver.get(loc)
                 if text is None:
-                    import os
-
-                    if os.path.exists(loc):
-                        with open(loc, encoding="utf-8") as fh:
-                            text = fh.read()
-                    else:
+                    candidates = [loc]
+                    if base_dir is not None and not os.path.isabs(loc):
+                        candidates.insert(0, os.path.join(base_dir, loc))
+                    path = next((p for p in candidates if os.path.exists(p)), None)
+                    if path is None:
                         raise ValueError(
                             f"cannot resolve {_local(ch.tag)} schemaLocation "
-                            f"{loc!r}: not in the resolver map and not a file"
+                            f"{loc!r}: not in the resolver map and not a file "
+                            f"(tried {candidates})"
                         )
-                elif not text.lstrip().startswith("<"):
-                    with open(text, encoding="utf-8") as fh:
+                    with open(path, encoding="utf-8") as fh:
                         text = fh.read()
-                self._register(ET.fromstring(text), resolver, seen)
+                    child_dir = os.path.dirname(os.path.abspath(path))
+                elif not text.lstrip().startswith("<"):
+                    try:
+                        with open(text, encoding="utf-8") as fh:
+                            path = text
+                            text = fh.read()
+                    except OSError as exc:
+                        raise ValueError(
+                            f"cannot resolve {_local(ch.tag)} schemaLocation "
+                            f"{loc!r}: resolver maps it to unreadable file "
+                            f"{text!r} ({exc})"
+                        ) from exc
+                    child_dir = os.path.dirname(os.path.abspath(path))
+                self._register(ET.fromstring(text), resolver, seen, base_dir=child_dir)
                 continue
             name = ch.get("name")
             if name is None:
