@@ -1009,6 +1009,72 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# fixed literal ECDF grid for the drift gate: events.value has 2-decimal
+# resolution, so .005 offsets can never tie a data point — the exact ECDF
+# at each grid value is a pure count ratio, bit-reproducible in any SQL
+# engine (no percentile interpolation to disagree over)
+DRIFT_GATE_GRID = [1.005, 2.505, 5.005, 10.005, 20.005, 40.005, 80.005, 160.005, 320.005]
+
+
+def q_drift_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIFT QUALITY CONTRACT as an oracle-checkable query (VERDICT r4
+    missing #1, pattern of q_hll_gate_lineitem): exact KS between baseline
+    (even event_ids) and current (all events) evaluated on a fixed literal
+    grid — plain SQL both here and in DuckDB — plus the gate verdict that
+    the engine's t-digest KS agrees with the exact grid-KS within 0.05.
+    The t-digest estimate itself stays engine-specific (rows-only in
+    drift_events); a drifting sketch now breaks the correctness gate."""
+    import tempfile
+
+    from avro_conversions_spark.constraints.drift import (
+        DriftConstraint,
+        save_snapshot,
+        tdigest_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0)
+
+    def ecdf_row(df: DataFrame, prefix: str) -> DataFrame:
+        return df.agg(
+            *[
+                F.avg((F.col("value") <= F.lit(g)).cast("double")).alias(f"{prefix}{i}")
+                for i, g in enumerate(DRIFT_GATE_GRID)
+            ]
+        )
+
+    exact = (
+        ecdf_row(base, "b")
+        .crossJoin(ecdf_row(ev, "c"))
+        .select(
+            F.round(
+                F.greatest(
+                    *[
+                        F.abs(F.col(f"b{i}") - F.col(f"c{i}"))
+                        for i in range(len(DRIFT_GATE_GRID))
+                    ]
+                ),
+                6,
+            ).alias("exact_ks")
+        )
+    )
+    exact_ks = exact.collect()[0]["exact_ks"]
+
+    tmp = tempfile.mkdtemp(prefix="acs_drift_gate_")
+    try:
+        path = tmp + "/baseline"
+        save_snapshot(tdigest_snapshot(base.select("value"), ["value"]), path)
+        dc = DriftConstraint(["value"], path, threshold=0.1, method="tdigest")
+        engine_ks = dc.check(ev.select("value"))[0]["ks"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [("value", float(exact_ks), bool(abs(engine_ks - exact_ks) <= 0.05))],
+        "col_name string, exact_ks double, gate_ok boolean",
+    )
+
+
 # -------------------------------------------------------------- transcripts
 
 
@@ -1103,6 +1169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repair_events": q_repair_events,
     "convert_dates": q_convert_dates,
     "drift_events": q_drift_events,
+    "drift_gate_events": q_drift_gate_events,
     "validate_transcripts": q_validate_transcripts,
 }
 
@@ -1325,6 +1392,21 @@ SELECT col_name, exact_ndv, TRUE AS within_5pct FROM (
   UNION ALL
   SELECT 'l_partkey', count(DISTINCT l_partkey)::BIGINT FROM lineitem
 )
+""",
+    "drift_gate_events": """
+WITH pts AS (
+  SELECT unnest([1.005, 2.505, 5.005, 10.005, 20.005, 40.005, 80.005, 160.005, 320.005]) AS gv
+), b AS (
+  SELECT gv, avg(CASE WHEN e.value <= gv THEN 1.0 ELSE 0.0 END::DOUBLE) AS eb
+  FROM pts, events e WHERE e.event_id % 2 = 0 GROUP BY gv
+), c AS (
+  SELECT gv, avg(CASE WHEN e.value <= gv THEN 1.0 ELSE 0.0 END::DOUBLE) AS ec
+  FROM pts, events e GROUP BY gv
+)
+SELECT 'value' AS col_name,
+       round(max(abs(b.eb - c.ec)), 6)::DOUBLE AS exact_ks,
+       TRUE AS gate_ok
+FROM b JOIN c USING (gv)
 """,
     "ann_lsh_gate": """
 SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, TRUE AS recall_at_5_ok
