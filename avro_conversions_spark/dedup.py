@@ -339,3 +339,87 @@ def embedding_near_duplicates(
         )
     )
     return clique.unionByName(star).where(F.col("cos") >= threshold)
+
+
+def paragraph_minhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_tokens: int = 20,
+    num_hashes: int = 4,
+    shingle_n: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Paragraph-level near-dedup (boilerplate finder): explode documents
+    into fixed-token-window paragraphs, compute a ROW-LOCAL MinHash
+    signature per paragraph (the zero-shuffle path of
+    ``with_minhash_signature``, reused at paragraph granularity), assign
+    ``cluster`` = md5 of the full signature, and flag clusters spanning
+    more than one document as boilerplate.  Emits one row per paragraph:
+    ``(doc_id, para_idx, cluster, is_boilerplate)``.
+
+    Scale shape (the 100 TB contract): signatures are a pure projection on
+    the exploded paragraph rows — no shuffle; the only exchange is ONE
+    cluster-keyed window to count distinct documents per cluster, bucketed
+    exactly like the document-level band join.  A paragraph×paragraph
+    all-pairs join never exists.  Skew is bounded by real boilerplate
+    itself (a cluster is as big as the boilerplate is common); the window
+    aggregates (doc_id set per cluster) stay proportional to cluster
+    membership.
+
+    md5 hashing keeps every value DuckDB-reproducible so the whole output
+    is oracle-checkable bit-for-bit (swap ``hash_fn='xxhash'`` for the
+    production allocation-free path, same as the document-level rowsig)."""
+    from pyspark.sql import Window
+
+    from avro_conversions_spark.functions.text import shingles_from_tokens, tokens
+
+    if hash_fn == "xxhash":
+        def one_hash(s: Column, sh: Column) -> Column:
+            return F.xxhash64(s, sh)
+    elif hash_fn == "md5":
+        def one_hash(s: Column, sh: Column) -> Column:
+            return F.conv(
+                F.substring(F.md5(F.concat(s.cast("string"), sh)), 1, 8), 16, 10
+            ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n_paras = F.greatest(
+        F.ceil(F.size("_toks") / F.lit(para_tokens)).cast("int"), F.lit(1)
+    )
+    paras = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.slice("_toks", i * para_tokens + 1, para_tokens),
+            )
+        ).alias("para_idx", "_ptoks"),
+    )
+    # stage the shingle array as a real column and keep the size() guard —
+    # same CollapseProject re-evaluation trap as with_minhash_signature
+    # (plan pinned there by test_minhash_plan_stages_shingles_once)
+    staged = paras.withColumn("_psh", shingles_from_tokens(F.col("_ptoks"), shingle_n))
+    sig_raw = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(F.col("_psh"), lambda sh: one_hash(s, sh))
+        ),
+    )
+    sig = F.when(F.size(F.col("_psh")) >= 0, sig_raw)
+    clustered = staged.select(
+        F.col(id_col),
+        "para_idx",
+        F.md5(
+            F.concat_ws("_", F.transform(sig, lambda v: v.cast("string")))
+        ).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster")
+    return clustered.select(
+        F.col(id_col),
+        "para_idx",
+        "cluster",
+        (F.size(F.collect_set(F.col(id_col)).over(w)) > 1).alias("is_boilerplate"),
+    )

@@ -264,6 +264,15 @@ def q_minhash_rowsig_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level near-dedup (VERDICT r4 next #6): fixed-token-window
+    paragraphs, row-local MinHash per paragraph, cluster = signature md5,
+    boilerplate = cluster spanning >1 document. Every value md5-derived so
+    DuckDB reproduces the full per-paragraph output bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_minhash_clusters(docs)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates within SimHash buckets — oracle-checked
     (sign-bit bucketing is SQL-portable)."""
@@ -1165,6 +1174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "minhash_rowsig_documents": q_minhash_rowsig_documents,
+    "paragraph_dedup_documents": q_paragraph_dedup_documents,
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "simhash_near_dups": q_simhash_near_dups,
     "token_stats_documents": q_token_stats_documents,
@@ -1422,6 +1432,37 @@ SELECT doc_id,
 FROM sig
 WHERE doc_id IN (SELECT doc_id FROM toks WHERE len(t) >= 3)
 GROUP BY doc_id
+""",
+    "paragraph_dedup_documents": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), pidx AS (
+  SELECT doc_id, t, unnest(range(0, greatest(1, (len(t) + 19) // 20))) AS para_idx
+  FROM toks
+), pt AS (
+  SELECT doc_id, para_idx::INT AS para_idx, t[(para_idx*20+1):(para_idx*20+20)] AS p
+  FROM pidx
+), psh AS (
+  SELECT doc_id, para_idx,
+         CASE WHEN len(p) >= 2
+              THEN [p[i] || ' ' || p[i+1] FOR i IN range(1, len(p))]
+              ELSE [array_to_string(p, ' ')] END AS shs
+  FROM pt
+), seeds AS (SELECT unnest(range(4)) AS seed),
+sig AS (
+  SELECT doc_id, para_idx, seed,
+         min((('0x' || substr(md5(seed::varchar || s.sh), 1, 8))::UBIGINT)::BIGINT) AS mh
+  FROM psh, unnest(shs) AS s(sh), seeds
+  GROUP BY doc_id, para_idx, seed
+), clustered AS (
+  SELECT doc_id, para_idx,
+         md5(string_agg(mh::varchar, '_' ORDER BY seed)) AS cluster
+  FROM sig GROUP BY doc_id, para_idx
+), nd AS (
+  SELECT cluster, count(DISTINCT doc_id) AS n_docs FROM clustered GROUP BY cluster
+)
+SELECT c.doc_id, c.para_idx, c.cluster, nd.n_docs > 1 AS is_boilerplate
+FROM clustered c JOIN nd USING (cluster)
 """,
     "jaccard_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r""",
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
