@@ -58,6 +58,9 @@ HEADLINE = [
     "ann_lsh_gate",
     "multimodal_features",
     "stream_dedup_documents",
+    "drift_gate_events",
+    "multimodal_headers",
+    "paragraph_dedup_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from decimal import Decimal, InvalidOperation, localcontext
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -76,6 +76,12 @@ _garbage = st.text(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(vals=st.lists(st.one_of(dec_strings(), _garbage), min_size=1, max_size=150))
+# pinned corner cases (VERDICT r4 #8 — randomized examples once shipped a
+# red test as green): zero-with-exponent, trailing-zero fractions at the
+# scale boundary, whitespace/underscore rejects, bare signs and dots
+@example(vals=["0e10", "0E-10", "-0.00e5", "0.000"])
+@example(vals=["12.30", "12.300", "1e2", "0.1e1", "99999999999999999999.999"])
+@example(vals=[" 1.0", "1.0 ", "1_0", "+", "-", ".", "e5", "1.2.3", ""])
 def test_textual_decimal_matches_python_decimal(spark, p, s, vals):
     from avro_conversions_spark.schema.resolution import decimal_roundtrip_ok
 
