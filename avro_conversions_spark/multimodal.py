@@ -211,7 +211,12 @@ def synthetic_containers(spark, n: int = 200, seed: int = 7) -> DataFrame:
                 blobs.append(payload)
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
-    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    # a fixture generator, not a scale path: cap task count so tiny n
+    # doesn't pay 32 Python-worker spin-ups per stage
+    parts = max(1, min(8, n // 64))
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
 
 
 def decode_headers(df: DataFrame, batch_records: int = 256) -> DataFrame:

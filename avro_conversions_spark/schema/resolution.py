@@ -249,8 +249,14 @@ def _date_conv() -> Converter:
     tests/test_datetime_property.py."""
 
     def guarded(c: Column) -> Column:
-        d = F.try_to_date(c, "yyyy-MM-dd")
-        return F.when(_date_shape(c) & (F.year(d) >= 1), d)
+        # year-0 bound as a string probe: under _date_shape the year is the
+        # fixed-width text at chars 1-4, so `!= '0000'` is exactly
+        # `year >= 1` for every string the cast would accept — and it
+        # avoids a second try_to_date evaluation in the guard
+        return F.when(
+            _date_shape(c) & (F.substring(c, 1, 4) != F.lit("0000")),
+            F.try_to_date(c, "yyyy-MM-dd"),
+        )
 
     def viol(c: Column) -> Column:
         return c.isNotNull() & guarded(c).isNull()
@@ -345,11 +351,17 @@ def _timestamp_conv(ntz: bool) -> Converter:
     every timezone; earlier values become INVALID_TIMESTAMP violation
     rows — the failure-as-rows contract, never a crash."""
     target = T.TimestampNTZType() if ntz else T.TimestampType()
-    floor = F.lit("0001-01-04 00:00:00").try_cast(target)  # constant-folded
 
     def conv(c: Column) -> Column:
-        ts = c.try_cast(target)
-        return F.when(_ts_shape(c) & (ts >= floor), ts)
+        # the floor as a string probe: under _ts_shape the date prefix is
+        # fixed-width text at chars 1-10, so lexicographic >= '0001-01-04'
+        # equals the chronological bound for every string the cast would
+        # accept (non-digit year chars may pass the probe but then null
+        # out in try_cast) — and the cast is evaluated once, not twice
+        return F.when(
+            _ts_shape(c) & (F.substring(c, 1, 10) >= F.lit("0001-01-04")),
+            c.try_cast(target),
+        )
 
     def viol(c: Column) -> Column:
         return c.isNotNull() & conv(c).isNull()
