@@ -423,3 +423,145 @@ def paragraph_minhash_clusters(
         "cluster",
         (F.size(F.collect_set(F.col(id_col)).over(w)) > 1).alias("is_boilerplate"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, component)
+    where ``component`` is the smallest node id in the component.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    algorithm, also the basis of GraphFrames' default CC). Each round is
+    two groupBy-aggregations over the current edge set; the edge set
+    monotonically contracts toward a star forest in O(log n) rounds even
+    on adversarial long chains — unlike plain min-label propagation,
+    which needs O(diameter) rounds, and unlike naive pointer-doubling on
+    a min-neighbor forest, which converges to LOCAL minima (two cliques
+    bridged at a non-minimal node keep distinct labels; pinned by test).
+
+    Scale: only (src, dst) long pairs ever shuffle; per-round state is the
+    edge list itself, localCheckpoint()ed every round to truncate lineage
+    (without it the plan doubles per iteration and the driver OOMs on
+    analysis long before data is a problem). The convergence probe is one
+    count + one sum-of-hash aggregate per round — driver-side scalars,
+    never collected rows. Nodes absent from ``edges`` are singletons; the
+    caller decides whether to union them back (see q_cc_clusters_documents).
+    """
+    e = (
+        edges.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+    def _star(edges_uv: DataFrame, large: bool) -> DataFrame:
+        # Neighborhoods over both directions; m(u) = min(Γ(u) ∪ {u}).
+        # Deliberately agg+join rather than collect_set: the minimum node
+        # of a giant component has Γ of component size, and a per-row
+        # neighbor array would concentrate the whole component in one row.
+        # The min-agg partial-aggregates map-side; the join back is a
+        # plain long-pair shuffle.
+        nbrs = edges_uv.union(edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        withm = nbrs.join(mins, "u")
+        if large:
+            # attach strictly-larger neighbors to the minimum
+            out = withm.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # attach not-larger neighbors — and u itself — to the minimum
+            # (min over {v ≤ u} ∪ {u} equals least(min(Γ(u)), u): a
+            # neighbor > u can never be the minimum)
+            out = withm.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).dropDuplicates()
+
+    def _sig(edges_uv: DataFrame) -> tuple[int, int]:
+        row = edges_uv.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode makes a long-sum of 2^63-scale
+            # hashes an ARITHMETIC_OVERFLOW error; xor is closed over long
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    prev = None
+    for _ in range(max_iterations):
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        sig = _sig(e)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # star forest: every edge is (node, root); roots map to themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .dropDuplicates()
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full-corpus duplicate-cluster assignment: MinHash-LSH candidate
+    pairs → connected components → every document labeled with its
+    cluster id (singletons label themselves). The natural step after
+    pair-finding: a training-data pipeline dedups by keeping one document
+    per CLUSTER, and pairs alone under-merge (A~B, B~C but not A~C)."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, band_size, shingle_n
+    )
+    comp = connected_components(cand)
+    return df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col).cast("long")).alias("cluster_id"),
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-representative selection: for each duplicate cluster keep
+    the highest-``score`` document (ties → smallest id). Returns
+    (cluster_id, kept_doc_id, n_members) — the keep-list a dedup pipeline
+    joins back against the corpus. One window over cluster_id: the shuffle
+    key is the cluster, and cluster cardinality is bounded by dup-group
+    size, so no skew beyond what the data itself has."""
+    from pyspark.sql import Window
+
+    scored = df.select(F.col(id_col), score.alias("_score")).join(clusters, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -273,6 +273,31 @@ def q_paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_minhash_clusters(docs)
 
 
+def q_cc_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment for every document: MinHash-LSH
+    candidate pairs → connected components (alternating large-star /
+    small-star, Kiveris et al. SoCC 2014) → (doc_id, cluster_id) with
+    cluster_id = smallest doc_id in the component; singletons label
+    themselves. Pairs alone under-merge (A~B, B~C but never A~C) — a
+    training-data dedup keeps one document per CLUSTER, so this is the
+    operator a pipeline actually joins against. Oracle: DuckDB recursive
+    reachability over the identical md5-derived candidate edges."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(docs, num_hashes=8, band_size=2)
+
+
+def q_dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: per duplicate cluster keep the
+    highest quality_score document (ties → smallest doc_id), emitting
+    (cluster_id, kept_doc_id, n_members) — the keep-list that finishes
+    the dedup pipeline (pairs → clusters → one survivor per cluster)."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, num_hashes=8, band_size=2)
+    return dedup.keep_best_per_cluster(
+        docs, clusters, TXT.quality_score(F.col("text"))
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates within SimHash buckets — oracle-checked
     (sign-bit bucketing is SQL-portable)."""
@@ -1175,6 +1200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "minhash_rowsig_documents": q_minhash_rowsig_documents,
     "paragraph_dedup_documents": q_paragraph_dedup_documents,
+    "cc_clusters_documents": q_cc_clusters_documents,
+    "dedup_keep_best_documents": q_dedup_keep_best_documents,
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "simhash_near_dups": q_simhash_near_dups,
     "token_stats_documents": q_token_stats_documents,
@@ -1243,6 +1270,27 @@ sig AS (
   WHERE a.doc_id < b.doc_id
 )
 """
+
+# Connected-component CTEs over the LSH candidate edges: DuckDB recursive
+# reachability. `walk` enumerates (id, r) = node → reachable node; min(r)
+# over an undirected reachable set is the component minimum — the same
+# label the Spark large-star/small-star contraction converges to.
+_CC_CTES = (_SHINGLE_CTE + _MINHASH_CTES).replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + r""",
+und AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM cand
+), walk(id, r) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT w.id, e.v FROM walk w JOIN und e ON e.u = w.r
+), comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+)
+"""
+
 
 def _oracle_hexbyte(i: int) -> str:
     """DuckDB SQL for byte ``i`` (1-indexed) of a blob's lower-hex string
@@ -1463,6 +1511,45 @@ sig AS (
 )
 SELECT c.doc_id, c.para_idx, c.cluster, nd.n_docs > 1 AS is_boilerplate
 FROM clustered c JOIN nd USING (cluster)
+""",
+    # connected components over the SAME md5-derived LSH candidate edges:
+    # recursive reachability (r = every node reachable from id; min(r) =
+    # component minimum), singletons label themselves via the left join
+    "cc_clusters_documents": _CC_CTES + r"""
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+    "dedup_keep_best_documents": _CC_CTES + r""",
+qt AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+           / length(text) AS punct_ratio
+  FROM documents
+), qm AS (
+  SELECT doc_id,
+         least(len(toks) / 20.0, 1.0) AS length_ok,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
+           / len(toks) AS word_len,
+         1.0 - least(punct_ratio * 5, 1.0) AS punct_ok
+  FROM qt
+), q AS (
+  SELECT doc_id,
+         round((length_ok
+                + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0 ELSE 0.5 END)
+                + punct_ok) / 3, 4) AS quality
+  FROM qm
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, q.quality
+  FROM documents d LEFT JOIN comp c USING (doc_id) JOIN q USING (doc_id)
+), ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM labeled
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
 """,
     "jaccard_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r""",
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
