@@ -158,12 +158,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def synthetic_containers(spark, n: int = 200, seed: int = 7) -> DataFrame:
-    """REAL-format container blobs, deterministic from media_id: even ids
-    get a PNG (signature + IHDR chunk with a correct CRC + a stub IDAT),
-    odd ids a canonical 44-byte-header PCM WAV (RIFF/WAVE fmt+data; the
-    sample body is truncated — header byte math only needs the declared
-    data size). Byte assembly is genuine struct.pack work so an
-    independent oracle can re-derive every field from the raw bytes."""
+    """REAL-format container blobs, deterministic from media_id, cycling
+    through four genuine formats by ``media_id % 4``:
+
+    - 0 → PNG: signature + IHDR chunk with a correct CRC + a stub IDAT;
+    - 1 → WAV: canonical 44-byte RIFF/WAVE fmt+data header (sample body
+      truncated — header byte math only needs the declared data size);
+    - 2 → GIF89a: header + logical-screen descriptor + trailer;
+    - 3 → BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, with every 8th id
+      stored TOP-DOWN (negative height) — the signed-int corner real BMP
+      decoders must handle.
+
+    Byte assembly is genuine struct.pack work so an independent oracle can
+    re-derive every field from the raw bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -173,7 +180,7 @@ def synthetic_containers(spark, n: int = 200, seed: int = 7) -> DataFrame:
             ids, blobs = [], []
             for raw in pdf["id"]:
                 mid = int(raw)
-                if mid % 2 == 0:  # PNG
+                if mid % 4 == 0:  # PNG
                     w = 16 + (mid * 37 + seed) % 2048
                     h = 16 + (mid * 53 + seed) % 1536
                     chunk = b"IHDR" + struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
@@ -187,7 +194,7 @@ def synthetic_containers(spark, n: int = 200, seed: int = 7) -> DataFrame:
                         + bytes([mid % 256] * 4)
                         + b"\x00\x00\x00\x00"
                     )
-                else:  # WAV (PCM 16-bit)
+                elif mid % 4 == 1:  # WAV (PCM 16-bit)
                     channels = 1 + (mid % 2)
                     sample_rate = (8000, 16000, 22050, 44100, 48000)[mid % 5]
                     block_align = channels * 2
@@ -207,6 +214,31 @@ def synthetic_containers(spark, n: int = 200, seed: int = 7) -> DataFrame:
                         + struct.pack("<I", data_size)
                         + bytes((mid + i) % 256 for i in range(min(data_size, 64)))
                     )
+                elif mid % 4 == 2:  # GIF89a
+                    w = 1 + (mid * 29 + seed) % 1024
+                    h = 1 + (mid * 41 + seed) % 768
+                    payload = (
+                        b"GIF89a"
+                        + struct.pack("<HH", w, h)
+                        # packed fields / background index / aspect ratio
+                        + bytes([0xF7, 0, 0])
+                        + b"\x3b"  # trailer
+                    )
+                else:  # BMP (BITMAPINFOHEADER, 24-bit)
+                    w = 1 + (mid * 19 + seed) % 2048
+                    h_mag = 1 + (mid * 23 + seed) % 1536
+                    h_signed = -h_mag if mid % 8 == 3 else h_mag  # top-down
+                    row_size = (w * 3 + 3) // 4 * 4
+                    payload = (
+                        b"BM"
+                        + struct.pack("<IHHI", 54 + row_size * h_mag, 0, 0, 54)
+                        + struct.pack(
+                            "<IiiHHIIiiII",
+                            40, w, h_signed, 1, 24, 0,
+                            row_size * h_mag, 2835, 2835, 0, 0,
+                        )
+                        + bytes((mid + i) % 256 for i in range(min(row_size * h_mag, 64)))
+                    )
                 ids.append(mid)
                 blobs.append(payload)
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
@@ -222,8 +254,12 @@ def synthetic_containers(spark, n: int = 200, seed: int = 7) -> DataFrame:
 def decode_headers(df: DataFrame, batch_records: int = 256) -> DataFrame:
     """REAL header decode (no codec library required — pure byte
     arithmetic): PNG IHDR width/height (big-endian u32 at offsets 16/20
-    behind the 8-byte signature) and WAV fmt-chunk sample-rate plus
-    duration derived from the declared data size over the byte rate.
+    behind the 8-byte signature), WAV fmt-chunk sample-rate plus duration
+    derived from the declared data size over the byte rate, GIF87a/89a
+    logical-screen width/height (little-endian u16 at offsets 6/8), and
+    BMP BITMAPINFOHEADER width/height (little-endian SIGNED i32 at
+    offsets 18/22 — a negative height means a top-down bitmap, reported
+    as its magnitude).
     Runs as Arrow-batched mapInPandas with worker-side re-chunking (same
     no-session-conf contract as extract_features).  Unknown magic,
     truncation, or a zero byte rate become ``parse_error`` rows — the
@@ -251,6 +287,22 @@ def decode_headers(df: DataFrame, batch_records: int = 256) -> DataFrame:
             if byte_rate == 0:
                 return (None, None, None, None, None, "zero_byte_rate")
             return ("wav", None, None, rate, data_size * 1000.0 / byte_rate, None)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            if len(b) < 10:
+                return (None, None, None, None, None, "truncated_gif")
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            if w == 0 or h == 0:
+                return (None, None, None, None, None, "zero_dimension")
+            return ("gif", w, h, None, None, None)
+        if b[:2] == b"BM":
+            if len(b) < 26 or int.from_bytes(b[14:18], "little") < 40:
+                return (None, None, None, None, None, "noncanonical_bmp")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            if w <= 0 or h == 0:
+                return (None, None, None, None, None, "zero_dimension")
+            return ("bmp", w, abs(h), None, None, None)
         return (None, None, None, None, None, "unknown_container")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

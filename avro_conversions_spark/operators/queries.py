@@ -1303,13 +1303,22 @@ def _oracle_hexbyte(i: int) -> str:
 
 def _containers_oracle_sql() -> str:
     """Byte-math oracle for multimodal_headers: re-derives PNG IHDR
-    dimensions (big-endian u32 at bytes 17-24) and WAV fmt sample-rate /
-    declared-data-size duration (little-endian at bytes 25-28 / 41-44)
-    straight from the staged blob bytes — independent of both the Python
-    generator and the Python decoder."""
+    dimensions (big-endian u32 at bytes 17-24), WAV fmt sample-rate /
+    declared-data-size duration (little-endian at bytes 25-28 / 41-44),
+    GIF logical-screen dimensions (little-endian u16 at bytes 7-10), and
+    BMP BITMAPINFOHEADER dimensions (little-endian SIGNED i32 at bytes
+    19-26; negative height = top-down, reported as magnitude) straight
+    from the staged blob bytes — independent of both the Python generator
+    and the Python decoder."""
     b = {i: _oracle_hexbyte(i) for i in list(range(1, 33)) + list(range(37, 45))}
     be32 = lambda i: f"({b[i]}*16777216 + {b[i+1]}*65536 + {b[i+2]}*256 + {b[i+3]})"
     le32 = lambda i: f"({b[i]} + {b[i+1]}*256 + {b[i+2]}*65536 + {b[i+3]}*16777216)"
+    le16 = lambda i: f"({b[i]} + {b[i+1]}*256)"
+    # two's-complement signed LE i32, then magnitude
+    le32s_abs = (
+        lambda i: f"abs(CASE WHEN {le32(i)} >= 2147483648 "
+        f"THEN {le32(i)} - 4294967296 ELSE {le32(i)} END)"
+    )
     magic = lambda start, vals: " AND ".join(
         f"{b[start + k]} = {v}" for k, v in enumerate(vals)
     )
@@ -1321,15 +1330,29 @@ def _containers_oracle_sql() -> str:
         f"nb >= 44 AND {magic(1, [82, 73, 70, 70])} AND {magic(9, [87, 65, 86, 69])} "
         f"AND {magic(13, [102, 109, 116, 32])} AND {magic(37, [100, 97, 116, 97])}"
     )
+    # 'GIF8' + ('7'|'9') + 'a', both dimensions nonzero
+    is_gif = (
+        f"nb >= 10 AND {magic(1, [71, 73, 70, 56])} AND {b[5]} IN (55, 57) "
+        f"AND {b[6]} = 97 AND {le16(7)} > 0 AND {le16(9)} > 0"
+    )
+    # 'BM', DIB header >= BITMAPINFOHEADER, positive width, nonzero height
+    bmp_w = f"(CASE WHEN {le32(19)} >= 2147483648 THEN {le32(19)} - 4294967296 ELSE {le32(19)} END)"
+    is_bmp = (
+        f"nb >= 26 AND {magic(1, [66, 77])} AND {le32(15)} >= 40 "
+        f"AND {bmp_w} > 0 AND {le32(23)} != 0"
+    )
     return f"""
 WITH raw AS (
   SELECT media_id, lower(hex(payload)) AS hx, octet_length(payload) AS nb
   FROM read_parquet('{CONTAINERS_ORACLE_PATH}/*.parquet')
 )
 SELECT media_id,
-       CASE WHEN {is_png} THEN 'png' WHEN {is_wav} THEN 'wav' END AS format,
-       CASE WHEN {is_png} THEN {be32(17)} ELSE -1 END::INT AS width,
-       CASE WHEN {is_png} THEN {be32(21)} ELSE -1 END::INT AS height,
+       CASE WHEN {is_png} THEN 'png' WHEN {is_wav} THEN 'wav'
+            WHEN {is_gif} THEN 'gif' WHEN {is_bmp} THEN 'bmp' END AS format,
+       CASE WHEN {is_png} THEN {be32(17)} WHEN {is_gif} THEN {le16(7)}
+            WHEN {is_bmp} THEN {bmp_w} ELSE -1 END::INT AS width,
+       CASE WHEN {is_png} THEN {be32(21)} WHEN {is_gif} THEN {le16(9)}
+            WHEN {is_bmp} THEN {le32s_abs(23)} ELSE -1 END::INT AS height,
        CASE WHEN {is_wav} THEN {le32(25)} ELSE -1 END::INT AS sample_rate,
        CASE WHEN {is_wav} AND {le32(29)} > 0
             THEN round({le32(41)} * 1000.0 / {le32(29)}, 6) ELSE -1.0 END::DOUBLE AS duration_ms

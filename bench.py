@@ -61,6 +61,10 @@ HEADLINE = [
     "drift_gate_events",
     "multimodal_headers",
     "paragraph_dedup_documents",
+    # full dedup pipeline: LSH candidates -> connected-component clusters
+    # -> keep-best survivor per cluster (cc_clusters_documents would
+    # double-pay the LSH stage, so only the composite query is benched)
+    "dedup_keep_best_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

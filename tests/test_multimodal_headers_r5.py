@@ -1,7 +1,8 @@
-"""Round-5 VERDICT #3: real PNG/WAV header decode.
+"""Round-5 VERDICT #3: real PNG/WAV/GIF/BMP header decode.
 
 The decode is pure byte arithmetic (no codec library): PNG IHDR
-width/height, WAV fmt sample-rate + declared-data-size duration. These
+width/height, WAV fmt sample-rate + declared-data-size duration, GIF
+logical-screen dimensions, BMP BITMAPINFOHEADER signed dimensions. These
 tests drive the mapInPandas decoder with genuine container bytes built by
 ``synthetic_containers`` AND adversarial malformed blobs, asserting the
 failure-as-rows contract (parse_error column, never an exception).
@@ -66,7 +67,11 @@ def test_malformed_blobs_become_parse_error_rows(spark):
         b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"XXXX" + b"\0" * 17,  # wrong chunk tag
         b"RIFF\x10\x00\x00\x00WAVE",  # truncated WAV
         b"RIFF" + b"\0" * 4 + b"WAVEjunk" + b"\0" * 40,  # non-canonical fmt
-        b"GIF89a" + b"\0" * 40,  # unknown magic
+        b"GIF89a" + b"\0" * 40,  # valid GIF magic but 0x0 dimensions
+        b"JUNKDATA" + b"\0" * 40,  # unknown magic
+        b"GIF89a\x10",  # truncated GIF
+        b"BM" + b"\0" * 10,  # truncated BMP
+        b"BM" + b"\0" * 12 + (12).to_bytes(4, "little") + b"\0" * 20,  # BITMAPCOREHEADER (unsupported)
         None,  # null payload
         _wav(44100, 1, 10)[:24] + struct.pack("<I", 0) + _wav(44100, 1, 10)[28:],  # rate 0 -> byte_rate math
     ]
@@ -74,7 +79,7 @@ def test_malformed_blobs_become_parse_error_rows(spark):
     for mid in range(len(blobs) - 1):
         assert got[mid].format is None, (mid, got[mid])
         assert got[mid].parse_error is not None, (mid, got[mid])
-    assert got[6].parse_error == "null_payload"
+    assert got[len(blobs) - 2].parse_error == "null_payload"
 
 
 def test_zero_byte_rate_flagged_not_divided(spark):
@@ -95,11 +100,11 @@ def test_synthetic_containers_roundtrip_params(spark):
     assert len(out) == 60
     for mid, r in out.items():
         assert r.parse_error is None
-        if mid % 2 == 0:
+        if mid % 4 == 0:
             assert r.format == "png"
             assert r.width == 16 + (mid * 37 + 7) % 2048
             assert r.height == 16 + (mid * 53 + 7) % 1536
-        else:
+        elif mid % 4 == 1:
             assert r.format == "wav"
             rate = (8000, 16000, 22050, 44100, 48000)[mid % 5]
             channels = 1 + (mid % 2)
@@ -107,3 +112,39 @@ def test_synthetic_containers_roundtrip_params(spark):
             assert r.sample_rate == rate
             assert abs(r.duration_ms - n_frames * 1000.0 / rate) < 1e-9, (mid, r)
             assert channels in (1, 2)
+        elif mid % 4 == 2:
+            assert r.format == "gif"
+            assert r.width == 1 + (mid * 29 + 7) % 1024
+            assert r.height == 1 + (mid * 41 + 7) % 768
+        else:
+            assert r.format == "bmp"
+            assert r.width == 1 + (mid * 19 + 7) % 2048
+            # top-down BMPs (every 8th id) store a negative height; the
+            # decoder reports the magnitude either way
+            assert r.height == 1 + (mid * 23 + 7) % 1536
+
+
+def test_bmp_negative_height_reports_magnitude(spark):
+    import struct
+
+    def bmp(w, h_signed):
+        return (
+            b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h_signed, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        )
+
+    got = _decode(spark, [bmp(100, 50), bmp(100, -50)])
+    assert (got[0].format, got[0].width, got[0].height) == ("bmp", 100, 50)
+    assert (got[1].format, got[1].width, got[1].height) == ("bmp", 100, 50)
+
+
+def test_gif87a_and_gif89a_both_decode(spark):
+    import struct
+
+    blobs = [
+        b"GIF87a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0]) + b"\x3b",
+        b"GIF89a" + struct.pack("<HH", 1, 65535) + bytes([0xF7, 0, 0]) + b"\x3b",
+    ]
+    got = _decode(spark, blobs)
+    assert (got[0].format, got[0].width, got[0].height) == ("gif", 320, 200)
+    assert (got[1].format, got[1].width, got[1].height) == ("gif", 1, 65535)
