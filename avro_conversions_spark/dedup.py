@@ -452,10 +452,16 @@ def connected_components(
     never collected rows. Nodes absent from ``edges`` are singletons; the
     caller decides whether to union them back (see q_cc_clusters_documents).
     """
+    # Materialize the input edge list up front: the caller's lineage is
+    # often an expensive pipeline (the LSH candidate join), and one star
+    # references its input from several sub-plans — without this the first
+    # round re-evaluates that pipeline ~16× (measured 8-9 s on a 5k-doc
+    # candidate set that executes once in <1 s).
     e = (
         edges.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
 
     def _star(edges_uv: DataFrame, large: bool) -> DataFrame:
@@ -493,7 +499,11 @@ def connected_components(
 
     prev = None
     for _ in range(max_iterations):
-        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        # checkpoint BETWEEN the stars too: the small star references the
+        # large star's output from several sub-plans (both join sides and
+        # the min-agg), which would otherwise double the work per round
+        e = _star(e, large=True).localCheckpoint(eager=True)
+        e = _star(e, large=False).localCheckpoint(eager=True)
         sig = _sig(e)
         if sig == prev:
             break

@@ -298,6 +298,35 @@ def q_dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) by md5 hash
+    bucket of doc_id — stable under re-runs, repartitioning, and
+    incremental appends, unlike randomSplit. Per-row output so the oracle
+    verifies every single assignment, not just the counts."""
+    from avro_conversions_spark import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.split_assign(docs).select("doc_id", "split")
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% per-language sample: membership is a pure
+    function of (seed, lang, doc_id), reproducible row-for-row by the
+    DuckDB oracle. The predicate is expression-only and pushes into the
+    scan — sampling costs no shuffle."""
+    from avro_conversions_spark import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "lang", 0.2).select("doc_id", "lang")
+
+
+def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency with a
+    deterministic tie-break (count desc, token asc) so the rank-k cut is
+    engine-independent."""
+    return stats.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates within SimHash buckets — oracle-checked
     (sign-bit bucketing is SQL-portable)."""
@@ -1202,6 +1231,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_documents": q_paragraph_dedup_documents,
     "cc_clusters_documents": q_cc_clusters_documents,
     "dedup_keep_best_documents": q_dedup_keep_best_documents,
+    "split_documents": q_split_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "vocab_topk_documents": q_vocab_topk_documents,
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "simhash_near_dups": q_simhash_near_dups,
     "token_stats_documents": q_token_stats_documents,
@@ -1573,6 +1605,35 @@ qt AS (
 )
 SELECT cluster_id, doc_id AS kept_doc_id, n_members::BIGINT AS n_members
 FROM ranked WHERE rn = 1
+""",
+    # identical md5 bucket arithmetic to sampling.hash_bucket: first 8 hex
+    # digits of md5('<seed>_<key>') as an integer, mod 1e6
+    "split_documents": r"""
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('0_' || doc_id::varchar), 1, 8))::UBIGINT)::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 980000 THEN 'train'
+            WHEN bucket < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    "stratified_sample_documents": r"""
+SELECT doc_id, lang
+FROM documents
+WHERE (('0x' || substr(md5(concat_ws('_', '0', lang, doc_id::varchar)), 1, 8))::UBIGINT)::BIGINT
+        % 1000000 < 200000
+""",
+    "vocab_topk_documents": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents
+), c AS (
+  SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token
+)
+SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100
 """,
     "jaccard_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r""",
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -1,0 +1,77 @@
+"""Deterministic sampling and dataset-split assignment.
+
+A 100 TB training-data pipeline cannot use ``rand()`` for train/val/test
+splits: re-runs must assign every document to the SAME split (resumable
+jobs, incremental ingest, audits), regardless of partitioning, executor
+count, or row order. The standard technique is hash-bucketing — assign by
+a stable hash of the document id, so membership is a pure function of the
+row. Everything here is expression-only (whole-stage codegen, no UDFs,
+no shuffles for the assignment itself) and md5-derived so the DuckDB
+oracle reproduces every assignment bit-for-bit (swap to xxhash64 for
+production throughput, same pattern as dedup.md5_hash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(c: Column, seed: int = 0, buckets: int = _BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of (seed, value) — the
+    first 8 hex digits as an integer, mod buckets. Identical arithmetic
+    is expressible in DuckDB, which keeps splits oracle-checkable."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), c.cast("string"))), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Adds a ``split`` column assigning each row to a named split with
+    the given weights (fractions summing to ~1). Assignment is a pure
+    function of (seed, id): stable under re-runs, repartitioning, and
+    incremental appends — new rows never move old rows between splits
+    (the property ``df.sample``/``randomSplit`` cannot give you).
+
+    Weights are applied as cumulative thresholds over a million-bucket
+    hash, so a 0.5% validation split resolves exactly."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"invalid split weights {weights!r}")
+    total = sum(weights.values())
+    b = hash_bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = b < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keeps ~``fraction`` of each
+    stratum by hashing (seed, stratum, id). Unlike ``sampleBy`` this is
+    reproducible row-for-row and needs no fraction dict per key — every
+    stratum gets the same rate, enforced by the same hash arithmetic the
+    oracle can replay. The filter is a pure Column predicate: it pushes
+    into the scan and costs no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    key = F.concat_ws("_", F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
+    return df.where(hash_bucket(key, seed) < int(round(fraction * _BUCKETS)))

@@ -181,3 +181,25 @@ def approx_quantiles(
         ]
     )
     return row.select(F.explode(pairs).alias("q")).select("q.*")
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100, min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent whitespace tokens with
+    deterministic tie-breaking (count desc, then token asc) so the cut at
+    rank k is stable across runs and engines.
+
+    Scale shape: explode → two-phase hash aggregation (partial map-side
+    combine collapses each partition's token stream to its local counts
+    before the shuffle — the shuffle carries (token, partial_count), not
+    tokens), then a single top-k sort over the surviving vocabulary.
+    Vocabulary cardinality, not corpus size, bounds the sorted set; for
+    zipfian text that is millions of rows off a 100 TB corpus, and
+    ``min_count`` prunes the hapax tail before the sort when even that is
+    too wide."""
+    toks = df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
