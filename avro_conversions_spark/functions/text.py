@@ -183,6 +183,26 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
     )
 
 
+def ngrams_from_tokens(t: Column, n: int) -> Column:
+    """ALL n-gram instances (NOT distinct — unlike shingles_from_tokens,
+    which deduplicates for set-based MinHash/Jaccard) from an
+    already-materialized token-array column; empty array when the
+    document has fewer than ``n`` tokens. Instance multiplicity is the
+    point: repetition metrics count how often each n-gram recurs. Same
+    CollapseProject discipline as shingles_from_tokens — pass a staged
+    column, never an inline split()."""
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (the unit for MinHash / Jaccard dedup).
     Convenience form; hot paths should stage tokens as a column and call

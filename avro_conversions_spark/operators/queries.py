@@ -327,6 +327,22 @@ def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document trigram repetition
+    (dup_ngram_frac / top_ngram_frac) joined with token-level repetition
+    (n=1 — dup_token_frac / top_token_frac). Both legs are the same
+    two-phase explode→agg shape; the join key is doc_id, co-partitioned
+    by the aggs that produced each side."""
+    docs = _t(spark, sf_dir, "documents")
+    tri = stats.repetition_stats(docs, n=3)
+    uni = stats.repetition_stats(docs, n=1).select(
+        F.col("doc_id"),
+        F.col("dup_ngram_frac").alias("dup_token_frac"),
+        F.col("top_ngram_frac").alias("top_token_frac"),
+    )
+    return tri.join(uni, "doc_id")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates within SimHash buckets — oracle-checked
     (sign-bit bucketing is SQL-portable)."""
@@ -1231,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_documents": q_paragraph_dedup_documents,
     "cc_clusters_documents": q_cc_clusters_documents,
     "dedup_keep_best_documents": q_dedup_keep_best_documents,
+    "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -1605,6 +1622,35 @@ qt AS (
 )
 SELECT cluster_id, doc_id AS kept_doc_id, n_members::BIGINT AS n_members
 FROM ranked WHERE rn = 1
+""",
+    "repetition_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t WHERE len(toks) >= 3
+), c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+r3 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double / sum(c), 4)
+           AS dup_ngram_frac,
+         round(max(c)::double / sum(c), 4) AS top_ngram_frac
+  FROM c3 GROUP BY doc_id
+),
+g1 AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 1),
+c1 AS (SELECT doc_id, tok, count(*) AS c FROM g1 GROUP BY doc_id, tok),
+r1 AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double / sum(c), 4)
+           AS dup_token_frac,
+         round(max(c)::double / sum(c), 4) AS top_token_frac
+  FROM c1 GROUP BY doc_id
+)
+SELECT r3.doc_id, n_ngrams, dup_ngram_frac, top_ngram_frac,
+       dup_token_frac, top_token_frac
+FROM r3 JOIN r1 ON r1.doc_id = r3.doc_id
 """,
     # identical md5 bucket arithmetic to sampling.hash_bucket: first 8 hex
     # digits of md5('<seed>_<key>') as an integer, mod 1e6

@@ -203,3 +203,48 @@ def vocab_topk(
     if min_count > 1:
         counts = counts.where(F.col("n") >= min_count)
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram repetition metrics — the Gopher-style
+    repetition filters (Rae et al. 2021, "Scaling Language Models",
+    §A1.1) every web-scale curation pipeline applies before training:
+
+    - ``n_ngrams``     — total n-gram instances in the document;
+    - ``dup_ngram_frac`` — fraction of n-gram instances whose n-gram
+      occurs more than once in the document (portable instance-count
+      definition; Gopher's variant weights by characters);
+    - ``top_ngram_frac`` — fraction taken by the single most frequent
+      n-gram (boilerplate / degenerate-repetition signal).
+
+    Documents with fewer than ``n`` tokens produce no n-grams and are
+    absent from the output (callers left-join and treat null as "too
+    short to judge").
+
+    Scale shape: explode → two-phase (doc, gram) hash aggregation —
+    map-side partial agg collapses each partition's gram stream before
+    the shuffle, so the exchange carries (doc_id, gram, partial_count),
+    bounded by per-partition DISTINCT grams, not corpus token count —
+    then a second partial-agg'd rollup to one row per document. No UDFs,
+    no per-row state; the same two-phase shape as vocab_topk.
+    """
+    from avro_conversions_spark.functions import text as TXT
+
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(TXT.ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.sum("c")
+    return per_gram.groupBy(id_col).agg(
+        tot.cast("long").alias("n_ngrams"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / tot, 4
+        ).alias("dup_ngram_frac"),
+        F.round(F.max("c") / tot, 4).alias("top_ngram_frac"),
+    )
