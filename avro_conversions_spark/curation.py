@@ -1,0 +1,166 @@
+"""Corpus-curation operators: benchmark decontamination and the composed
+keep/drop pipeline a training-data build actually runs.
+
+Both are table-level operators over the ``documents`` shape
+(doc_id, text, lang, source, n_chars), composing the function surface in
+``functions.text`` / ``functions.pii`` / ``stats`` / ``dedup`` into the
+two decisions a 100 TB curation job makes: "is this document tainted by
+an eval set?" and "does this document survive into training data, and if
+not, why exactly?".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from avro_conversions_spark.functions import text as TXT
+
+
+def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) with DISTINCT n-grams per document — decontamination is
+    set overlap, instance multiplicity is irrelevant. Tokens are staged as
+    a real column before the transform (CollapseProject discipline)."""
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TXT.ngrams_from_tokens(F.col("_toks"), n))
+        ).alias("gram"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram collision — the published
+    GPT-3/PaLM procedure (Brown et al. 2020 §C: drop training documents
+    sharing a long n-gram with an eval example; 8 ≤ n ≤ 13).
+
+    Returns (doc_id, bench_id, n_shared, bench_overlap_frac): one row per
+    (corpus document, benchmark document) pair sharing ≥ ``min_shared``
+    distinct n-grams, with the fraction of the benchmark document's
+    distinct n-grams found in the corpus document — 1.0 means the eval
+    example is wholly contained.
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of documents, the corpus is billions), so its exploded gram
+    table is broadcast — the corpus side never shuffles; each corpus
+    partition streams its grams through the broadcast hash join and only
+    the (rare) collision rows reach the pair aggregation. Corpus grams
+    are distinct-per-document (array_distinct before explode, row-local),
+    so the join probe count is bounded by document vocabulary, not raw
+    token count.
+    """
+    c = _distinct_grams(corpus, id_col, text_col, n)
+    b = _distinct_grams(benchmark, id_col, text_col, n).withColumnsRenamed(
+        {id_col: "bench_id"}
+    )
+    b_sizes = b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("_bench_grams"))
+    pairs = (
+        c.join(F.broadcast(b), "gram")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs.join(F.broadcast(b_sizes), "bench_id").select(
+        id_col,
+        "bench_id",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("_bench_grams"), 4).alias(
+            "bench_overlap_frac"
+        ),
+    )
+
+
+# ordered drop reasons: the FIRST failing filter names the verdict, so the
+# reason histogram is a pipeline funnel (each stage sees only survivors of
+# the previous one) — the report shape curation jobs publish
+CURATION_REASONS = ("too_short", "low_quality", "high_repetition", "duplicate")
+
+
+def curate(
+    df: DataFrame,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    max_dup_ngram_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed curation pipeline: every document in, every document
+    out with a verdict — ``kept`` or the first failing filter's reason
+    (ordered per CURATION_REASONS) — plus the signals the decision used.
+
+    Stages (all single-scan projections except the two marked):
+      1. too_short       — token_count < min_tokens
+      2. low_quality     — composite quality_score < min_quality
+      3. high_repetition — trigram dup_ngram_frac > max (explode + two-phase
+                           agg, shuffle bounded by distinct grams/partition)
+      4. duplicate       — same normalized-text fingerprint as a
+                           lower-doc_id survivor (one hash-partition
+                           min() per fingerprint; ties keep smallest id)
+
+    Verdicts are computed for ALL documents (a dropped-too-short document
+    still reports its quality), but the duplicate stage only dedups among
+    documents that passed 1-3 — dropping a document and simultaneously
+    letting it shadow a clean near-twin would double-drop; funnel order
+    prevents that, and matches how production pipelines sequence cheap
+    filters before dedup (FineWeb, RefinedWeb ordering).
+
+    Returns (doc_id, verdict, n_tokens, quality, dup_ngram_frac,
+    fingerprint).
+    """
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        TXT.token_count(text).cast("long").alias("n_tokens"),
+        TXT.quality_score(text).alias("quality"),
+        TXT.fingerprint(text).alias("fingerprint"),
+    )
+    from avro_conversions_spark.stats import repetition_stats
+
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col, n=3).select(
+        id_col, "dup_ngram_frac"
+    )
+    # left join: documents too short for trigrams have null dup_ngram_frac
+    # and can only fail earlier stages
+    sig = base.join(rep, id_col, "left")
+
+    passes_123 = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)) <= max_dup_ngram_frac)
+    )
+    # duplicate stage among stage-1-3 survivors: keeper = min doc_id per
+    # fingerprint (two-phase hash agg, map-side partial min)
+    keepers = (
+        sig.where(passes_123)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    out = sig.join(keepers, "fingerprint", "left")
+    verdict: Column = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(
+            F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)) > max_dup_ngram_frac,
+            F.lit("high_repetition"),
+        )
+        .when(F.col(id_col) != F.col("_keep_id"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        id_col,
+        verdict.alias("verdict"),
+        "n_tokens",
+        "quality",
+        "dup_ngram_frac",
+        "fingerprint",
+    )

@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from avro_conversions_spark import dedup, similarity, stats
+from avro_conversions_spark import curation, dedup, similarity, stats
 from avro_conversions_spark.constraints import (
     ReferentialConstraint,
     SequenceConstraint,
@@ -36,6 +36,7 @@ from avro_conversions_spark.constraints import (
     range_check,
 )
 from avro_conversions_spark.engine import ValidationEngine
+from avro_conversions_spark.functions import pii as PII
 from avro_conversions_spark.functions import text as TXT
 from avro_conversions_spark.transcripts import ROLES, tool_catalog, transcripts
 
@@ -341,6 +342,69 @@ def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_ngram_frac").alias("top_token_frac"),
     )
     return tri.join(uni, "doc_id")
+
+
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the documents table. The synthetic corpus
+    carries no natural PII, so the query derives a deterministic
+    PII-injected text (same expression on the oracle side) and runs the
+    REAL detector/redactor over it: per-class counts on the raw text and
+    the md5 of the redacted text (md5 keeps the compared result compact
+    while pinning every replaced span byte-for-byte)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com from 10.0."),
+            (d % 256).cast("string"),
+            F.lit(".17"),
+            F.when(d % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(
+                F.lit("")
+            ),
+        ).alias("pii_text"),
+    )
+    t = F.col("pii_text")
+    return injected.select(
+        "doc_id",
+        *PII.pii_counts(t),
+        F.md5(PII.redact(t)).alias("redacted_md5"),
+    )
+
+
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents with doc_id % 97 == 0 play the
+    eval set, the rest the training corpus; emit every (corpus doc, bench
+    doc) pair sharing a distinct 4-gram with overlap stats. n=4 (not the
+    production 8-13) so the tiny word-salad corpus yields non-trivial
+    organic overlap for the oracle to check; the operator itself defaults
+    to n=8."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return curation.contamination_pairs(corpus, bench, n=4)
+
+
+def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop curation pipeline (funnel-ordered verdicts:
+    too_short → low_quality → high_repetition → duplicate → kept) — the
+    flagship LLM-training-data query tying quality scoring, repetition
+    filtering and fingerprint dedup into one plan. Thresholds are tuned
+    to the synthetic corpus' organic signal distributions (its 5th pct
+    token count is 16, 90th pct trigram dup fraction 0.02) so every
+    funnel stage fires at test scale; the operator defaults are the
+    production-shaped ones."""
+    return curation.curate(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=16,
+        min_quality=0.9,
+        max_dup_ngram_frac=0.02,
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,6 +1312,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_clusters_documents": q_cc_clusters_documents,
     "dedup_keep_best_documents": q_dedup_keep_best_documents,
     "repetition_documents": q_repetition_documents,
+    "pii_documents": q_pii_documents,
+    "contamination_documents": q_contamination_documents,
+    "curation_pipeline_documents": q_curation_pipeline_documents,
     "split_documents": q_split_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -1651,6 +1718,104 @@ r1 AS (
 SELECT r3.doc_id, n_ngrams, dup_ngram_frac, top_ngram_frac,
        dup_token_frac, top_token_frac
 FROM r3 JOIN r1 ON r1.doc_id = r3.doc_id
+""",
+    # same injected-PII expression, same patterns (RE2/Java-portable: no
+    # lookaround, ASCII \b), same cascade order as functions/pii.py
+    "pii_documents": r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.17'
+              || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t,
+           '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b'))::BIGINT AS n_card,
+       len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+       len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+       len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '[CARD]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g')) AS redacted_md5
+FROM p
+""",
+    "contamination_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3]))) AS gram
+  FROM t WHERE len(toks) >= 4
+),
+b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+bs AS (SELECT bench_id, count(*) AS bg FROM b GROUP BY bench_id),
+p AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM c JOIN b USING (gram) GROUP BY 1, 2)
+SELECT p.doc_id, p.bench_id, n_shared::BIGINT AS n_shared,
+       round(n_shared::double / bg, 4) AS bench_overlap_frac
+FROM p JOIN bs USING (bench_id)
+""",
+    # quality/fingerprint/repetition expressions identical to their
+    # standalone oracles; funnel CASE order mirrors curation.curate
+    "curation_pipeline_documents": r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+           / length(text) AS punct_ratio
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         round((least(len(toks) / 20.0, 1.0)
+                + (CASE WHEN list_aggregate(list_transform(toks, x -> length(x)),
+                                            'sum')::double / len(toks)
+                             BETWEEN 3 AND 10
+                   THEN 1.0 ELSE 0.5 END)
+                + (1.0 - least(punct_ratio * 5, 1.0))) / 3, 4) AS quality,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '',
+                                                'g'), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM t
+), g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t WHERE len(toks) >= 3
+), c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double / sum(c), 4)
+           AS dup_ngram_frac
+  FROM c3 GROUP BY doc_id
+), sig AS (
+  SELECT base.*, rep.dup_ngram_frac FROM base LEFT JOIN rep USING (doc_id)
+), keepers AS (
+  SELECT fingerprint, min(doc_id) AS keep_id
+  FROM sig
+  WHERE n_tokens >= 16 AND quality >= 0.9
+    AND coalesce(dup_ngram_frac, 0.0) <= 0.02
+  GROUP BY fingerprint
+)
+SELECT s.doc_id,
+       CASE WHEN n_tokens < 16 THEN 'too_short'
+            WHEN quality < 0.9 THEN 'low_quality'
+            WHEN coalesce(dup_ngram_frac, 0.0) > 0.02 THEN 'high_repetition'
+            WHEN s.doc_id <> k.keep_id THEN 'duplicate'
+            ELSE 'kept' END AS verdict,
+       n_tokens, quality, dup_ngram_frac, s.fingerprint
+FROM sig s LEFT JOIN keepers k USING (fingerprint)
 """,
     # identical md5 bucket arithmetic to sampling.hash_bucket: first 8 hex
     # digits of md5('<seed>_<key>') as an integer, mod 1e6
