@@ -310,6 +310,18 @@ def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.split_assign(docs).select("doc_id", "split")
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents laid end-to-end inside 8
+    deterministic hash buckets, cut into 512-token training sequences
+    (concat-and-split — documents may straddle a cut). Per-document
+    output (bucket, pack_id, pack_offset, spans_boundary) so the oracle
+    verifies every placement, not just pack counts."""
+    from avro_conversions_spark import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, budget=512, n_buckets=8)
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% per-language sample: membership is a pure
     function of (seed, lang, doc_id), reproducible row-for-row by the
@@ -1316,6 +1328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_documents": q_contamination_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "split_documents": q_split_documents,
+    "pack_documents": q_pack_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "vocab_topk_documents": q_vocab_topk_documents,
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
@@ -1831,6 +1844,26 @@ SELECT doc_id,
             WHEN bucket < 990000 THEN 'val'
             ELSE 'test' END AS split
 FROM b
+""",
+    "pack_documents": r"""
+WITH b AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
+         (('0x' || substr(md5('0_' || doc_id::varchar), 1, 8))::UBIGINT)::BIGINT
+           % 8 AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, bucket,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+       ((cum - n_tokens) % 512)::BIGINT AS pack_offset,
+       ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
+FROM c
 """,
     "stratified_sample_documents": r"""
 SELECT doc_id, lang

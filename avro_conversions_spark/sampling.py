@@ -75,3 +75,75 @@ def stratified_sample(
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     key = F.concat_ws("_", F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
     return df.where(hash_bucket(key, seed) < int(round(fraction * _BUCKETS)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-style sequence packing at document granularity: lay documents
+    end-to-end and cut fixed ``budget``-token training sequences, letting
+    a document straddle a cut (concat-and-split — the standard LM
+    pretraining layout, where sequence boundaries fall mid-document and
+    the remainder flows into the next pack).
+
+    Global greedy packing is a serial recurrence; the scalable layout
+    packs independently inside deterministic md5 hash buckets (same
+    arithmetic as ``hash_bucket``, so assignment is a pure function of
+    (seed, id) — stable under re-runs, repartitioning and appends).
+    Within a bucket, documents are laid out in ``id_col`` order and the
+    pack index is pure prefix arithmetic over the running token sum — no
+    recurrence, one window per bucket. The only waste vs a global layout
+    is one partial trailing pack per bucket, negligible when buckets hold
+    thousands of documents; ``n_buckets`` should be ≥ cluster cores so
+    the single hash-partition exchange parallelizes and no task sorts
+    more than corpus/n_buckets documents.
+
+    Returns the input's id plus (n_tokens, bucket, pack_id, pack_offset,
+    spans_boundary): ``pack_id`` is the bucket-local sequence the document
+    STARTS in, ``pack_offset`` its start position there, and
+    ``spans_boundary`` is true when the document crosses into the next
+    pack.
+
+    If ``n_tokens_col`` is None, token counts are whitespace counts of
+    ``text_col`` (swap in a real tokenizer's counts upstream for
+    production budgets).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    from avro_conversions_spark.functions import text as TXT
+
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else TXT.token_count(F.col(text_col))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        hash_bucket(F.col(id_col), seed, n_buckets).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor(start / budget).alias("pack_id"),
+        F.pmod(start, F.lit(budget)).alias("pack_offset"),
+        (F.floor(start / budget) != F.floor((cum - 1) / budget)).alias(
+            "spans_boundary"
+        ),
+    )

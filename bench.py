@@ -65,6 +65,13 @@ HEADLINE = [
     # -> keep-best survivor per cluster (cc_clusters_documents would
     # double-pay the LSH stage, so only the composite query is benched)
     "dedup_keep_best_documents",
+    "repetition_documents",
+    "pii_documents",
+    "contamination_documents",
+    # composite funnel (quality -> repetition -> fingerprint dedup); the
+    # standalone repetition query above prices the dominant stage alone
+    "curation_pipeline_documents",
+    "pack_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
