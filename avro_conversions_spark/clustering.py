@@ -1,0 +1,111 @@
+"""Deterministic distributed k-means over embedding columns.
+
+The curation use-case is SemDeDup-style semantic organization of a
+training corpus: partition document embeddings into k cells so that
+downstream passes (near-dup pruning, domain balancing, diversity
+sampling) run cell-locally instead of corpus-globally. Unlike the IVF
+quantizer in similarity.py (pyspark.ml KMeans, k-means||, sampled fit —
+the right tool when only the CELLS matter), this is hand-rolled Lloyd's
+with a fully specified deterministic contract, so the final assignment
+of every vector is reproducible bit-for-bit by the DuckDB oracle:
+
+- init: the k vectors with the smallest ids, in id order (cluster i =
+  i-th smallest id) — no RNG anywhere;
+- a fixed number of Lloyd iterations (no convergence test — a data-
+  dependent stop would make the iteration count itself float-sensitive);
+- assignment: argmin of squared L2 distance with ties broken on the
+  lower cluster id (struct-ordering argmin — deterministic);
+- update: per-(cluster, dimension) mean; a cluster that loses all its
+  points keeps its previous centroid.
+
+100 TB shape: centroids are driver-held literals (k×d doubles — KBs),
+so ASSIGNMENT is a zero-shuffle map over the corpus with the distance
+loop inside whole-stage codegen (F.aggregate/zip_with, no Python). The
+UPDATE is posexplode → groupBy(cluster, dim) with map-side partial
+aggregation: each task emits at most k×d partials regardless of row
+count, so the per-iteration shuffle payload is O(k·d·tasks), never
+O(rows). The only collect() is the k×d centroid matrix per iteration —
+the same driver-side footprint as pyspark.ml's own KMeans.
+
+Reference parity note: the reference engine (opwvhk/avro-conversions)
+has no clustering; this extends the §2.8 training-pipeline surface
+(task brief: embedding-based curation at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from avro_conversions_spark.functions.vectors import to_double
+
+
+def _dist2(v: Column, c: Column) -> Column:
+    """Squared L2 distance between two double arrays — a sequential
+    left-fold (F.aggregate), so the floating-point summation order is
+    pinned left-to-right on both engines."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    pts: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Adds ``cluster``: index of the nearest centroid (squared-L2,
+    ties → lower index). Centroids travel as a literal array-of-arrays,
+    so the pass is shuffle-free."""
+    cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    best_raw = F.array_min(
+        F.transform(
+            cent,
+            lambda c, i: F.struct(
+                _dist2(F.col(vec_col), c).alias("d"),
+                i.cast("int").alias("cluster"),
+            ),
+        )
+    )
+    # CollapseProject inlines a once-referenced staged projection INTO the
+    # lambda — re-evaluating the double-cast of the vector once per
+    # centroid (k×, the round-4 minhash trap). The size() second
+    # reference keeps the staged array materialized.
+    best = F.when(F.size(F.col(vec_col)) >= 0, best_raw)
+    return pts.withColumn("cluster", best["cluster"])
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means with the deterministic contract above; returns
+    (id_col, cluster). ``iters`` centroid updates, then one final
+    assignment against the post-update centroids."""
+    pts = df.select(
+        F.col(id_col).alias("pid"), to_double(F.col(vec_col)).alias("v")
+    )
+    init = pts.orderBy("pid").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
+    centroids = [[float(x) for x in r["v"]] for r in init]
+
+    for _ in range(iters):
+        assigned = assign_clusters(pts, centroids)
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )  # ≤ k×d rows — driver-held by design, like pyspark.ml KMeans
+        new = [c[:] for c in centroids]  # empty cluster keeps its centroid
+        for r in upd:
+            new[r["cluster"]][r["dim"]] = float(r["m"])
+        centroids = new
+
+    return assign_clusters(pts, centroids).select(
+        F.col("pid").alias(id_col), "cluster"
+    )

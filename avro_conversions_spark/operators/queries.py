@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from avro_conversions_spark import curation, dedup, similarity, stats
+from avro_conversions_spark import clustering, curation, dedup, similarity, stats
 from avro_conversions_spark.constraints import (
     ReferentialConstraint,
     SequenceConstraint,
@@ -36,6 +36,7 @@ from avro_conversions_spark.constraints import (
     range_check,
 )
 from avro_conversions_spark.engine import ValidationEngine
+from avro_conversions_spark.functions import lm as LM
 from avro_conversions_spark.functions import pii as PII
 from avro_conversions_spark.functions import text as TXT
 from avro_conversions_spark.transcripts import ROLES, tool_catalog, transcripts
@@ -1298,6 +1299,30 @@ def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: rank every document by the mean
+    negative log2 probability its bigrams get under an add-k-smoothed
+    bigram LM fit on the corpus itself (self-perplexity — fluent text
+    scores low, gibberish/boilerplate high). Every probability is a
+    ratio of integer counts, so the DuckDB oracle reproduces the scores
+    exactly up to the final rounded log2. See functions/lm.py for the
+    100 TB shuffle shape."""
+    docs = _t(spark, sf_dir, "documents")
+    model, ctx, vocab = LM.fit_bigram_lm(docs)
+    return LM.score_documents(docs, model, ctx, vocab)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic cells: deterministic Lloyd's k-means over
+    the embedding column (init = k smallest vec_ids, 3 fixed iterations,
+    lower-id tie-break) — the full assignment is integer-valued and
+    reproduced row-for-row by an unrolled-iteration SQL oracle. See
+    clustering.py for why assignment is shuffle-free and the update
+    shuffle is O(k·d·tasks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.kmeans_fit_assign(emb, k=8, iters=3)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1367,7 +1392,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_events": q_drift_events,
     "drift_gate_events": q_drift_gate_events,
     "validate_transcripts": q_validate_transcripts,
+    "lm_perplexity_documents": q_lm_perplexity_documents,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-iteration DuckDB replica of clustering.kmeans_fit_assign.
+
+    Every Lloyd step is plain SQL: assignment = row_number()-argmin over
+    the point×centroid cross join (ties broken on cluster id, exactly the
+    Spark struct-ordering argmin), update = per-(cluster, dim) avg
+    re-assembled with list(ORDER BY dim), and a LEFT JOIN carries the
+    previous centroid for clusters that lost all points (the Spark side
+    keeps old centroids the same way). Distances use explicit
+    (a-b)*(a-b) — no pow() — so both engines run the same fp ops; the
+    output is integer cluster ids, immune to last-ulp drift."""
+    d2 = (
+        "list_sum(list_transform(range(1, {dim}+1), "
+        "i -> (p.v[i]-c.c[i])*(p.v[i]-c.c[i])))"
+    ).format(dim=dim)
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+  FROM pts ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT p.vec_id, p.v, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {d2}, c.cl) AS rn
+    FROM pts p, {prev} c
+  ) WHERE rn = 1
+), u{it} AS (
+  SELECT cl, list(m ORDER BY dim) AS c FROM (
+    SELECT a.cl, d.i AS dim, avg(a.v[d.i]) AS m
+    FROM a{it} a, (SELECT unnest(range(1, {dim}+1)) AS i) d
+    GROUP BY a.cl, d.i
+  ) GROUP BY cl
+), c{it} AS (
+  SELECT p.cl, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{it} u USING (cl)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cl::INT AS cluster FROM (
+  SELECT p.vec_id, c.cl,
+         row_number() OVER (PARTITION BY p.vec_id ORDER BY {d2}, c.cl) AS rn
+  FROM pts p, c{iters} c
+) WHERE rn = 1"""
+    )
+    return "".join(parts)
 
 _SHINGLE_CTE = r"""
 WITH toks AS (
@@ -2280,4 +2362,30 @@ SELECT a.vec_id AS id_a, c.vec_id AS id_b,
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.2
 """,
+    "lm_perplexity_documents": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), pairs AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                 for i in range(1, len(t))]) AS b
+  FROM toks WHERE len(t) >= 2
+), p AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pairs
+), lm AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM p GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM lm GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w)::DOUBLE AS vs
+  FROM (SELECT unnest(t) AS w FROM toks)
+)
+SELECT p.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round(avg(-log2((lm.c12 + 0.5) / (ctx.c1 + 0.5 * v.vs))), 4)
+         AS avg_nll_bits
+FROM p JOIN lm USING (w1, w2) JOIN ctx USING (w1), v
+GROUP BY p.doc_id
+""",
+    "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64),
 }
