@@ -72,6 +72,8 @@ HEADLINE = [
     # standalone repetition query above prices the dominant stage alone
     "curation_pipeline_documents",
     "pack_documents",
+    "lm_perplexity_documents",
+    "kmeans_embeddings",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
