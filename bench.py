@@ -74,6 +74,7 @@ HEADLINE = [
     "pack_documents",
     "lm_perplexity_documents",
     "kmeans_embeddings",
+    "quality_classifier_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
