@@ -52,11 +52,17 @@ def _dist2(v: Column, c: Column) -> Column:
 
 
 def assign_clusters(
-    pts: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+    pts: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    with_distance: bool = False,
 ) -> DataFrame:
     """Adds ``cluster``: index of the nearest centroid (squared-L2,
-    ties → lower index). Centroids travel as a literal array-of-arrays,
-    so the pass is shuffle-free."""
+    ties → lower index); optionally ``dist2`` (squared distance to it,
+    rounded to 4dp — the SemDeDup redundancy/outlier signal: prune
+    near-centroid points for dedup, far ones for outlier removal).
+    Centroids travel as a literal array-of-arrays, so the pass is
+    shuffle-free."""
     cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     best_raw = F.array_min(
         F.transform(
@@ -72,7 +78,10 @@ def assign_clusters(
     # centroid (k×, the round-4 minhash trap). The size() second
     # reference keeps the staged array materialized.
     best = F.when(F.size(F.col(vec_col)) >= 0, best_raw)
-    return pts.withColumn("cluster", best["cluster"])
+    out = pts.withColumn("cluster", best["cluster"])
+    if with_distance:
+        out = out.withColumn("dist2", F.round(best["d"], 4))
+    return out
 
 
 def kmeans_fit_assign(
@@ -81,10 +90,11 @@ def kmeans_fit_assign(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 3,
+    with_distance: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means with the deterministic contract above; returns
-    (id_col, cluster). ``iters`` centroid updates, then one final
-    assignment against the post-update centroids."""
+    (id_col, cluster[, dist2]). ``iters`` centroid updates, then one
+    final assignment against the post-update centroids."""
     pts = df.select(
         F.col(id_col).alias("pid"), to_double(F.col(vec_col)).alias("v")
     )
@@ -106,6 +116,7 @@ def kmeans_fit_assign(
             new[r["cluster"]][r["dim"]] = float(r["m"])
         centroids = new
 
-    return assign_clusters(pts, centroids).select(
-        F.col("pid").alias(id_col), "cluster"
-    )
+    cols = [F.col("pid").alias(id_col), F.col("cluster")]
+    if with_distance:
+        cols.append(F.col("dist2"))
+    return assign_clusters(pts, centroids, with_distance=with_distance).select(*cols)

@@ -1342,9 +1342,10 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id tie-break) — the full assignment is integer-valued and
     reproduced row-for-row by an unrolled-iteration SQL oracle. See
     clustering.py for why assignment is shuffle-free and the update
-    shuffle is O(k·d·tasks)."""
+    shuffle is O(k·d·tasks). dist2 (squared distance to the assigned
+    centroid, 4dp) is the SemDeDup redundancy/outlier prune signal."""
     emb = _t(spark, sf_dir, "embeddings")
-    return clustering.kmeans_fit_assign(emb, k=8, iters=3)
+    return clustering.kmeans_fit_assign(emb, k=8, iters=3, with_distance=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1532,8 +1533,8 @@ WITH pts AS (
         )
     parts.append(
         f"""
-SELECT vec_id, cl::INT AS cluster FROM (
-  SELECT p.vec_id, c.cl,
+SELECT vec_id, cl::INT AS cluster, round(d, 4) AS dist2 FROM (
+  SELECT p.vec_id, c.cl, {d2} AS d,
          row_number() OVER (PARTITION BY p.vec_id ORDER BY {d2}, c.cl) AS rn
   FROM pts p, c{iters} c
 ) WHERE rn = 1"""

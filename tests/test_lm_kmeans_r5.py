@@ -107,15 +107,15 @@ def test_kmeans_empty_cluster_and_ties_hand_traced(spark):
     # (see comments) is fully hand-computable including lower-id tie-breaks
     rows = [(0, [0.0]), (1, [0.0]), (2, [9.0]), (3, [1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    got = {
-        r["vec_id"]: r["cluster"]
-        for r in clustering.kmeans_fit_assign(df, k=3, iters=3).collect()
-    }
+    out = clustering.kmeans_fit_assign(df, k=3, iters=3, with_distance=True).collect()
+    got = {r["vec_id"]: r["cluster"] for r in out}
     # init c=[0,0,9]; a1: ids 0,1,3 -> c0 (ties -> lower id), 2 -> c2
     # u1: c0=1/3, c1 EMPTY keeps 0.0, c2=9
     # a2: [0.0] pts -> c1 (exact 0), [1.0] -> c0; u2: c0=1, c1=0, c2=9
     # a3 + final: stable
     assert got == {0: 1, 1: 1, 2: 2, 3: 0}
+    # converged layout: every point sits exactly on its final centroid
+    assert all(r["dist2"] == 0.0 for r in out)
 
 
 def test_kmeans_assignment_is_shuffle_free(spark):
