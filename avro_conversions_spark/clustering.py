@@ -91,13 +91,21 @@ def kmeans_fit_assign(
     k: int = 8,
     iters: int = 3,
     with_distance: bool = False,
+    persist_points: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means with the deterministic contract above; returns
     (id_col, cluster[, dist2]). ``iters`` centroid updates, then one
-    final assignment against the post-update centroids."""
+    final assignment against the post-update centroids.
+
+    ``persist_points``: each iteration re-reads the input (assign +
+    update share one scan, but iterations don't); recompute wins on
+    local page-cache profiles (round-3/4 finding), persist on remote
+    object storage where iters+1 corpus scans dominate."""
     pts = df.select(
         F.col(id_col).alias("pid"), to_double(F.col(vec_col)).alias("v")
     )
+    if persist_points:
+        pts = pts.persist()
     init = pts.orderBy("pid").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
@@ -119,4 +127,10 @@ def kmeans_fit_assign(
     cols = [F.col("pid").alias(id_col), F.col("cluster")]
     if with_distance:
         cols.append(F.col("dist2"))
-    return assign_clusters(pts, centroids, with_distance=with_distance).select(*cols)
+    out = assign_clusters(pts, centroids, with_distance=with_distance).select(*cols)
+    if persist_points:
+        # materialized by the final assignment's consumer; safe to drop
+        # the iteration cache now — the returned frame re-derives from it
+        # lazily, so unpersist only marks it evictable
+        pts.unpersist()
+    return out

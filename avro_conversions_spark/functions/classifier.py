@@ -134,10 +134,20 @@ def train_lr(
     n_buckets: int = 1024,
     iters: int = 3,
     lr: float = 1.0,
+    persist_features: bool = False,
 ) -> list[float]:
     """Full-batch GD on logistic loss; returns the learned weight list
-    (length n_buckets+1, last = bias). label_col must be 0/1."""
+    (length n_buckets+1, last = bias). label_col must be 0/1.
+
+    ``persist_features``: the feature frame feeds two subplans per
+    iteration (margins, then the gradient join), so without caching the
+    tokenize+hash+count lineage replays 2×iters times. On local
+    NVMe/page-cache profiles the recompute WINS (the round-3/4 jaccard
+    and cache_input findings); set True on remote object storage where
+    repeated corpus scans dominate."""
     feats = _features(train, id_col, text_col, n_buckets)
+    if persist_features:
+        feats = feats.persist()
     labels = train.select(F.col(id_col), F.col(label_col).cast("double").alias("y"))
     n = train.count()
     weights = [0.0] * (n_buckets + 1)
@@ -161,6 +171,8 @@ def train_lr(
         )  # ≤ n_buckets+1 rows — driver-held by design
         for r in grad_rows:
             weights[r["bucket"]] -= lr * float(r["g"]) / n
+    if persist_features:
+        feats.unpersist()
     return weights
 
 
