@@ -187,6 +187,48 @@ def minhash_lsh_candidates(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 200,
+) -> DataFrame:
+    """Exact character-level verification of candidate near-dup pairs:
+    (id_a, id_b, edit_dist, edit_sim). The third verification lens next
+    to shingle-Jaccard (set overlap, order-blind) and embedding cosine
+    (semantic): Levenshtein catches small in-place edits that shuffle
+    few shingles and certifies byte-closeness.
+
+    Levenshtein is O(len²) per pair — unbounded document lengths would
+    make one hot pair a straggler — so comparison is bounded to the
+    first ``prefix_len`` chars (the standard prefix-sketch compromise;
+    two near-dup documents that diverge only after the prefix still
+    score 1.0, which is what LSH candidates + downstream Jaccard are
+    for). Cost is per-CANDIDATE, never all-pairs: the joins fan the
+    bounded prefixes to the candidate rows by key."""
+    t = df.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, prefix_len).alias("_pfx")
+    )
+    a = t.select(F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pa"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pb"))
+    mx = F.greatest(F.length("_pa"), F.length("_pb"))
+    dist = F.levenshtein("_pa", "_pb").cast("long")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            # ANSI mode: guard the 0/0 of two empty prefixes (identical)
+            F.when(mx > 0, F.round(F.lit(1.0) - dist / mx, 4))
+            .otherwise(F.lit(1.0))
+            .alias("edit_sim"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

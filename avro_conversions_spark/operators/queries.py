@@ -1313,6 +1313,45 @@ def q_lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.score_documents(docs, model, ctx, vocab)
 
 
+def q_editdist_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of MinHash-LSH candidate pairs:
+    exact Levenshtein over bounded 200-char prefixes (integer-valued —
+    oracle-exact; DuckDB implements the identical metric). The third
+    near-dup lens beside shingle-Jaccard and embedding cosine; cost is
+    per-candidate, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    return dedup.edit_distance_pairs(docs, cands)
+
+
+def q_corpus_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset audit card: the per-slice corpus report a training-data
+    pipeline publishes with each snapshot (docs, token mass, mean quality,
+    near-exact-duplicate exposure per language slice). One scan + one
+    window over the fingerprint + one agg — every column exactly
+    reproducible in SQL."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        TXT.token_count(F.col("text")).cast("long").alias("nt"),
+        TXT.quality_score(F.col("text")).alias("q"),
+    )
+    dup = (F.count(F.lit(1)).over(Window.partitionBy("fp")) >= 2).alias("is_dup")
+    return (
+        f.select("lang", "nt", "q", dup)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum(F.col("is_dup").cast("long")).alias("dup_docs"),
+        )
+    )
+
+
 def q_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText/GPT-3-style learned quality filter: a hashed-BOW logistic
     regression trained IN the engine (full-batch GD, zero init, fixed 5
@@ -1420,6 +1459,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity_documents": q_lm_perplexity_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "quality_classifier_documents": q_quality_classifier_documents,
+    "editdist_pairs_documents": q_editdist_pairs_documents,
+    "corpus_audit_documents": q_corpus_audit_documents,
 }
 
 
@@ -2479,4 +2520,43 @@ GROUP BY p.doc_id
 """,
     "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64),
     "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=5, lr=5.0),
+    "editdist_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r"""
+SELECT c.id_a, c.id_b,
+       levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))::BIGINT
+         AS edit_dist,
+       CASE WHEN greatest(len(substr(a.text, 1, 200)), len(substr(b.text, 1, 200))) > 0
+            THEN round(1.0 - levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+                       / greatest(len(substr(a.text, 1, 200)), len(substr(b.text, 1, 200))), 4)
+            ELSE 1.0 END AS edit_sim
+FROM cand c
+JOIN documents a ON a.doc_id = c.id_a
+JOIN documents b ON b.doc_id = c.id_b
+""",
+    "corpus_audit_documents": r"""
+WITH f AS (
+  SELECT lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp,
+         len(string_split_regex(lower(text), '\s+'))::BIGINT AS nt,
+         round((
+             least(len(string_split_regex(lower(text), '\s+')) / 20.0, 1.0)
+           + (CASE WHEN list_aggregate(list_transform(
+                        string_split_regex(lower(text), '\s+'), x -> length(x)),
+                        'sum')::double
+                   / len(string_split_regex(lower(text), '\s+'))
+                   BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+           + 1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+                         / length(text) * 5, 1.0)
+         ) / 3, 4) AS q
+  FROM documents
+), g AS (
+  SELECT lang, nt, q,
+         count(*) OVER (PARTITION BY fp) >= 2 AS is_dup
+  FROM f
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+       round(avg(q), 4) AS avg_quality,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS dup_docs
+FROM g GROUP BY lang
+""",
 }

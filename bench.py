@@ -75,6 +75,8 @@ HEADLINE = [
     "lm_perplexity_documents",
     "kmeans_embeddings",
     "quality_classifier_documents",
+    "editdist_pairs_documents",
+    "corpus_audit_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
