@@ -221,9 +221,13 @@ def edit_distance_pairs(
             "id_a",
             "id_b",
             dist.alias("edit_dist"),
-            # ANSI mode: guard the 0/0 of two empty prefixes (identical)
+            # ANSI mode: guard the 0/0 of two empty prefixes (identical);
+            # NULL text propagates NULL on BOTH columns — the empty-pair
+            # branch is gated on a non-NULL distance because greatest()
+            # skips NULLs, so (empty, NULL) would otherwise read mx=0 and
+            # score 1.0 (round-5 edge probe)
             F.when(mx > 0, F.round(F.lit(1.0) - dist / mx, 4))
-            .otherwise(F.lit(1.0))
+            .when(dist.isNotNull() & (mx == 0), F.lit(1.0))
             .alias("edit_sim"),
         )
     )

@@ -57,9 +57,14 @@ def avg_token_len(text: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are neither alphanumeric nor whitespace
     (portable definition: identical semantics in Spark and the SQL oracle,
-    unlike Java's \\p{Punct})."""
+    unlike Java's \\p{Punct}). Empty text → 0.0: under ANSI mode the bare
+    division is a DIVIDE_BY_ZERO that would crash the whole job on one
+    empty document — a failure-as-rows contract violation (round-5 edge
+    probe); the oracles carry the same CASE guard."""
     stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
-    return F.length(stripped) / F.length(text)
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).when(
+        F.length(text) == 0, F.lit(0.0)
+    )  # NULL text stays NULL (matches the SQL oracle's null algebra)
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -84,13 +89,20 @@ def langid(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: long enough, words not too long/short,
-    not punctuation-heavy. Deterministic, oracle-expressible."""
+    not punctuation-heavy. Deterministic, oracle-expressible. NULL text →
+    NULL (explicitly: Spark's NULL-skipping least() and when().otherwise()
+    would otherwise leak a meaningless 0.5 while the SQL oracle leaks a
+    different 0.83 — pinned by the round-5 edge probe); empty text scores
+    low but never throws (the bare punct-ratio division was an ANSI
+    DIVIDE_BY_ZERO job-killer on one empty document)."""
     n_tok = token_count(text)
     length_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
     word_len = avg_token_len(text)
     word_ok = F.when((word_len >= 3) & (word_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
-    return F.round((length_ok + word_ok + punct_ok) / 3, 4)
+    return F.when(
+        text.isNotNull(), F.round((length_ok + word_ok + punct_ok) / 3, 4)
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -1890,12 +1890,14 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
     "dedup_keep_best_documents": _CC_CTES + r""",
 qt AS (
   SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
-         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
-           / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+                   / length(text) ELSE 0.0 END AS punct_ratio
   FROM documents
 ), qm AS (
   SELECT doc_id,
-         least(len(toks) / 20.0, 1.0) AS length_ok,
+         CASE WHEN toks IS NULL THEN NULL
+              ELSE least(len(toks) / 20.0, 1.0) END AS length_ok,
          list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
            / len(toks) AS word_len,
          1.0 - least(punct_ratio * 5, 1.0) AS punct_ok
@@ -2002,13 +2004,15 @@ FROM p JOIN bs USING (bench_id)
     "curation_pipeline_documents": r"""
 WITH t AS (
   SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
-         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
-           / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+                   / length(text) ELSE 0.0 END AS punct_ratio
   FROM documents
 ), base AS (
   SELECT doc_id,
          len(toks)::BIGINT AS n_tokens,
-         round((least(len(toks) / 20.0, 1.0)
+         round(((CASE WHEN toks IS NULL THEN NULL
+                      ELSE least(len(toks) / 20.0, 1.0) END)
                 + (CASE WHEN list_aggregate(list_transform(toks, x -> length(x)),
                                             'sum')::double / len(toks)
                              BETWEEN 3 AND 10
@@ -2219,12 +2223,14 @@ FROM s GROUP BY 1, 2
     "quality_documents": r"""
 WITH t AS (
   SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
-         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
-           / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+                   / length(text) ELSE 0.0 END AS punct_ratio
   FROM documents
 ), m AS (
   SELECT doc_id,
-         least(len(toks) / 20.0, 1.0) AS length_ok,
+         CASE WHEN toks IS NULL THEN NULL
+              ELSE least(len(toks) / 20.0, 1.0) END AS length_ok,
          list_aggregate(list_transform(toks, x -> length(x)), 'sum')::double
            / len(toks) AS word_len,
          1.0 - least(punct_ratio * 5, 1.0) AS punct_ok
@@ -2542,14 +2548,16 @@ WITH f AS (
                                  '\s+', ' ', 'g'))) AS fp,
          len(string_split_regex(lower(text), '\s+'))::BIGINT AS nt,
          round((
-             least(len(string_split_regex(lower(text), '\s+')) / 20.0, 1.0)
+             (CASE WHEN text IS NULL THEN NULL
+                   ELSE least(len(string_split_regex(lower(text), '\s+')) / 20.0, 1.0) END)
            + (CASE WHEN list_aggregate(list_transform(
                         string_split_regex(lower(text), '\s+'), x -> length(x)),
                         'sum')::double
                    / len(string_split_regex(lower(text), '\s+'))
                    BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
-           + 1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
-                         / length(text) * 5, 1.0)
+           + 1.0 - least((CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+                                   / length(text) ELSE 0.0 END) * 5, 1.0)
          ) / 3, 4) AS q
   FROM documents
 ), g AS (

@@ -48,6 +48,40 @@ def test_edit_distance_prefix_bound_and_empty(spark):
     assert out[(3, 4)] == (0, 1.0)
 
 
+def test_edit_distance_null_text_propagates_null(spark):
+    # NULL text must NOT score 1.0 against anything (the .otherwise trap),
+    # including against EMPTY text (greatest() skips NULLs, so mx reads 0)
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text"), (3, "")], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+        for r in dedup.edit_distance_pairs(docs, cands).collect()
+    }
+    assert out[(1, 2)] == (None, None)
+    assert out[(1, 3)] == (None, None)
+
+
+def test_quality_score_empty_text_is_a_row_not_a_crash(spark):
+    # ANSI DIVIDE_BY_ZERO on empty text crashed the whole job (found by
+    # round-5 edge probe) — failure-as-rows demands a value instead
+    from avro_conversions_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "fine words here")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", TXT.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert rows[1] is not None  # empty text scores (low), never throws
+    assert rows[2] is None  # NULL text stays NULL
+    assert 0.0 < rows[3] <= 1.0
+
+
 def test_corpus_audit_planted(spark, tmp_path):
     rows = [
         (1, "alpha beta gamma", "en", "s", 16),
