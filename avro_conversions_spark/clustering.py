@@ -78,7 +78,13 @@ def assign_clusters(
     # centroid (k×, the round-4 minhash trap). The size() second
     # reference keeps the staged array materialized.
     best = F.when(F.size(F.col(vec_col)) >= 0, best_raw)
-    out = pts.withColumn("cluster", best["cluster"])
+    # failure-as-rows: a NULL or wrong-dimension vector has no defined
+    # distance (zip_with pads with NULL) — emit NULL cluster, never an
+    # arbitrary argmin winner (round-5 edge probe: a ragged vector was
+    # assigned cluster 0 with NULL distance)
+    out = pts.withColumn(
+        "cluster", F.when(best["d"].isNotNull(), best["cluster"])
+    )
     if with_distance:
         out = out.withColumn("dist2", F.round(best["d"], 4))
     return out
@@ -121,6 +127,10 @@ def kmeans_fit_assign(
         )  # ≤ k×d rows — driver-held by design, like pyspark.ml KMeans
         new = [c[:] for c in centroids]  # empty cluster keeps its centroid
         for r in upd:
+            # NULL cluster = undefinable vector (NULL / ragged) — excluded
+            # from centroids, like its NULL assignment row downstream
+            if r["cluster"] is None or r["dim"] >= len(new[r["cluster"]]):
+                continue
             new[r["cluster"]][r["dim"]] = float(r["m"])
         centroids = new
 

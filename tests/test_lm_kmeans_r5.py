@@ -118,6 +118,23 @@ def test_kmeans_empty_cluster_and_ties_hand_traced(spark):
     assert all(r["dist2"] == 0.0 for r in out)
 
 
+def test_kmeans_null_and_ragged_vectors_get_null_cluster(spark):
+    # failure-as-rows: undefinable distances (NULL vector, wrong dims)
+    # must yield NULL assignments, never an arbitrary argmin winner, and
+    # must not poison the centroid update
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, None), (3, [5.0, 5.0]), (4, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in clustering.kmeans_fit_assign(
+            df, k=2, iters=2, with_distance=True
+        ).collect()
+    }
+    assert out[2] == (None, None) and out[4] == (None, None)
+    # valid points: c0=mean((0,0),(5,5))=(2.5,2.5) -> both at dist2 12.5
+    assert out[0] == (0, 12.5) and out[3] == (0, 12.5) and out[1] == (1, 0.0)
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     rows = [(i, [float(i % 4), float(i % 3)]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
