@@ -1324,6 +1324,50 @@ def q_editdist_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(docs, cands)
 
 
+def q_stream_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation rollup (the ingest-time funnel): documents
+    staged as TWO files → two micro-batches → row-local curation signals
+    (same Column expressions as batch) + a cross-batch streaming
+    aggregation keyed on fingerprint (keeper id, copy count, group
+    signals). Every aggregate is order-insensitive, so the result is
+    deterministic under any batch split and equals the batch SQL — a
+    true oracle for a stateful streaming query."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from avro_conversions_spark.streaming.curate import (
+        curation_signals,
+        streaming_curation_rollup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    data_dir = tempfile.mkdtemp(prefix="acs_scurate_data_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(data_dir)
+        schema = spark.read.parquet(data_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(data_dir)
+        )
+        rolled = streaming_curation_rollup(curation_signals(stream))
+        name = f"stream_curate_{uuid.uuid4().hex[:8]}"
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, rolled.schema)
+
+
 def q_corpus_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset audit card: the per-slice corpus report a training-data
     pipeline publishes with each snapshot (docs, token mass, mean quality,
@@ -1464,7 +1508,46 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
+    "stream_curate_documents": q_stream_curate_documents,
 }
+
+
+def _stream_curate_oracle_sql() -> str:
+    """Batch-SQL replica of the streaming curation rollup — valid as an
+    oracle because every streaming aggregate is order-insensitive. PII
+    regexes interpolate from functions/pii.PII_PATTERNS so the two sides
+    can never drift."""
+    from avro_conversions_spark.functions.pii import PII_PATTERNS
+
+    n_pii = "\n           + ".join(
+        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PII_PATTERNS
+    )
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fingerprint,
+         round((
+             (CASE WHEN text IS NULL THEN NULL
+                   ELSE least(len(string_split_regex(lower(text), '\s+')) / 20.0, 1.0) END)
+           + (CASE WHEN list_aggregate(list_transform(
+                        string_split_regex(lower(text), '\s+'), x -> length(x)),
+                        'sum')::double
+                   / len(string_split_regex(lower(text), '\s+'))
+                   BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+           + 1.0 - least((CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::double
+                                   / length(text) ELSE 0.0 END) * 5, 1.0)
+         ) / 3, 4) AS quality,
+         len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
+         ({n_pii})::BIGINT AS n_pii
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keeper_doc, count(*)::BIGINT AS n_copies,
+       min(quality) AS min_quality, min(n_tokens) AS min_tokens,
+       sum(n_pii)::BIGINT AS total_pii
+FROM s GROUP BY fingerprint
+"""
 
 
 def _lr_oracle_sql(n_buckets: int = 256, iters: int = 3, lr: float = 1.0) -> str:
@@ -2529,6 +2612,7 @@ GROUP BY p.doc_id
 """,
     "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64),
     "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=3, lr=5.0),
+    "stream_curate_documents": _stream_curate_oracle_sql(),
     "editdist_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r"""
 SELECT c.id_a, c.id_b,
        levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))::BIGINT

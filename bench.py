@@ -77,6 +77,7 @@ HEADLINE = [
     "quality_classifier_documents",
     "editdist_pairs_documents",
     "corpus_audit_documents",
+    "stream_curate_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))
