@@ -112,9 +112,19 @@ def kmeans_fit_assign(
     )
     if persist_points:
         pts = pts.persist()
-    init = pts.orderBy("pid").limit(k).collect()
+    # init from VALID vectors only: the dimension is set by the smallest-id
+    # non-null vector, and NULL/other-dimension rows can neither seed nor
+    # (downstream) join a cluster — they get NULL assignments instead of
+    # crashing the init collect (round-5 adversarial sweep)
+    valid = pts.where(F.col("v").isNotNull())
+    head = valid.orderBy("pid").select(F.size("v").alias("d")).head()
+    if head is None:
+        raise ValueError("no non-null vectors to initialize from")
+    init = (
+        valid.where(F.size("v") == head["d"]).orderBy("pid").limit(k).collect()
+    )
     if len(init) < k:
-        raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
+        raise ValueError(f"k={k} exceeds the {len(init)} valid input vectors")
     centroids = [[float(x) for x in r["v"]] for r in init]
 
     for _ in range(iters):

@@ -28,15 +28,23 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for undefined similarity (either side NULL, ragged, or
+    all-zero): the bare division was an ANSI DIVIDE_BY_ZERO that let ONE
+    zero vector (a failed embedding — realistic at corpus scale) crash
+    every cosine-scoring job (round-5 adversarial sweep)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def simhash_bits(v: Column, bits: int = 16) -> Column:
     """SimHash of an embedding: sign bits of the first ``bits`` dimensions
     packed into a long — a cheap LSH bucket key for near-duplicate grouping
-    of dense vectors."""
+    of dense vectors. NULL for NULL or shorter-than-``bits`` vectors: under
+    ANSI mode element_at past the end is a job-killing
+    INVALID_ARRAY_INDEX (round-5 adversarial sweep), and a NULL bucket
+    never joins, so malformed vectors simply can't pair."""
     idx = F.sequence(F.lit(1), F.lit(bits))
-    return F.aggregate(
+    packed = F.aggregate(
         F.transform(
             idx,
             lambda i: F.when(F.element_at(v, i.cast("int")) > 0, F.lit(1)).otherwise(F.lit(0))
@@ -45,3 +53,4 @@ def simhash_bits(v: Column, bits: int = 16) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    return F.when(F.size(v) >= bits, packed)

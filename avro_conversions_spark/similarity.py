@@ -100,6 +100,18 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # index only VALID vectors: NULL or off-dimension rows break the
+    # pyspark.ml fit/transform (round-5 adversarial sweep) and can never
+    # be meaningful neighbors — the dimension is set by the smallest-id
+    # non-null corpus vector, mirroring clustering.kmeans_fit_assign
+    nn = corpus.where(F.col(vec_col).isNotNull())
+    head = nn.orderBy(id_col).select(F.size(vec_col).alias("d")).head()
+    if head is None:
+        raise ValueError("no non-null corpus vectors to index")
+    corpus = nn.where(F.size(vec_col) == head["d"])
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == head["d"])
+    )
     c_feat = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
