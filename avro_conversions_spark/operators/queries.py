@@ -1324,6 +1324,39 @@ def q_editdist_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(docs, cands)
 
 
+def q_vocab_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between corpus slices — the categorical
+    counterpart to the numeric KS drift family (data-audit staple: did a
+    new ingest shift the vocabulary?). Baseline = even doc_ids, current =
+    all docs; per-token probability deltas over the union vocabulary,
+    top-20 by |Δp| with lexicographic tie-break. Two explode→count aggs
+    (map-side partials bound the shuffle by per-partition distinct
+    tokens), one full outer join on token, one top-k sort. Exact-SQL
+    oracle — probabilities are integer-count ratios rounded 6dp."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+
+    def dist(side: DataFrame) -> DataFrame:
+        c = side.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        tot = side.count()
+        return c.select("token", (F.col("n") / F.lit(tot)).alias("p"))
+
+    base = dist(toks.where(F.col("doc_id") % 2 == 0)).withColumnRenamed("p", "p_base")
+    cur = dist(toks).withColumnRenamed("p", "p_cur")
+    joined = base.join(cur, "token", "full_outer").select(
+        "token",
+        F.round(F.coalesce("p_base", F.lit(0.0)), 6).alias("p_base"),
+        F.round(F.coalesce("p_cur", F.lit(0.0)), 6).alias("p_cur"),
+        F.round(
+            F.abs(F.coalesce("p_base", F.lit(0.0)) - F.coalesce("p_cur", F.lit(0.0))),
+            6,
+        ).alias("abs_delta"),
+    )
+    return joined.orderBy(F.col("abs_delta").desc(), F.col("token")).limit(20)
+
+
 def q_stream_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming curation rollup (the ingest-time funnel): documents
     staged as TWO files → two micro-batches → row-local curation signals
@@ -1509,6 +1542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
     "stream_curate_documents": q_stream_curate_documents,
+    "vocab_drift_documents": q_vocab_drift_documents,
 }
 
 
@@ -2613,6 +2647,25 @@ GROUP BY p.doc_id
     "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64),
     "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=3, lr=5.0),
     "stream_curate_documents": _stream_curate_oracle_sql(),
+    "vocab_drift_documents": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+), base AS (
+  SELECT token, count(*)::DOUBLE
+           / (SELECT count(*) FROM toks WHERE doc_id % 2 = 0) AS p
+  FROM toks WHERE doc_id % 2 = 0 GROUP BY token
+), cur AS (
+  SELECT token, count(*)::DOUBLE / (SELECT count(*) FROM toks) AS p
+  FROM toks GROUP BY token
+)
+SELECT token,
+       round(coalesce(base.p, 0.0), 6) AS p_base,
+       round(coalesce(cur.p, 0.0), 6) AS p_cur,
+       round(abs(coalesce(base.p, 0.0) - coalesce(cur.p, 0.0)), 6) AS abs_delta
+FROM base FULL OUTER JOIN cur USING (token)
+ORDER BY abs_delta DESC, token LIMIT 20
+""",
     "editdist_pairs_documents": _SHINGLE_CTE + _MINHASH_CTES + r"""
 SELECT c.id_a, c.id_b,
        levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))::BIGINT

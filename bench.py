@@ -78,6 +78,7 @@ HEADLINE = [
     "editdist_pairs_documents",
     "corpus_audit_documents",
     "stream_curate_documents",
+    "vocab_drift_documents",
 ]
 
 BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "100000"))

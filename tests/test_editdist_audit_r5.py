@@ -110,3 +110,19 @@ def test_corpus_audit_plan_single_scan(spark):
     tot = df.agg(F.sum("n_docs")).collect()[0][0]
     n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert tot == n
+
+def test_vocab_drift_planted(spark, tmp_path):
+    from avro_conversions_spark.operators.queries import q_vocab_drift_documents
+
+    # even ids say "alpha", odd ids say "beta": baseline (evens) is 100%
+    # alpha, current (all) is 50/50 -> both tokens drift by 0.5
+    rows = [(i, "alpha" if i % 2 == 0 else "beta", "en", "s", 5) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r["token"]: r for r in q_vocab_drift_documents(spark, d).collect()}
+    assert out["alpha"]["p_base"] == 1.0 and out["alpha"]["p_cur"] == 0.5
+    assert out["beta"]["p_base"] == 0.0 and out["beta"]["p_cur"] == 0.5
+    assert out["alpha"]["abs_delta"] == out["beta"]["abs_delta"] == 0.5
