@@ -154,3 +154,98 @@ def kmeans_fit_assign(
         # lazily, so unpersist only marks it evictable
         pts.unpersist()
     return out
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.2,
+    max_cluster: int = 512,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means the
+    corpus into cells, then prune ε-similar neighbors CELL-LOCALLY —
+    never a corpus-global pair join.
+
+    Declarative pruning contract (the paper's greedy pass re-expressed as
+    a well-defined predicate so the DuckDB oracle reproduces it exactly):
+    a vector ``b`` is pruned iff some same-cluster anchor ``a`` has
+    ``cosine(a, b) >= threshold`` and ``a`` dominates ``b`` — ``a`` is
+    FARTHER from the centroid (``dist2`` at 4dp; the paper keeps the
+    low-centroid-similarity member of each ε-group), ties broken by the
+    lower ``id``. The farthest member of every ε-neighborhood is
+    undominated, so each duplicate group keeps at least one survivor.
+
+    100 TB shape: the pair join is keyed on ``cluster``, so its cost is
+    Σ mᵢ·min(mᵢ, max_cluster) — cluster count ``k`` is the scale knob
+    (SemDeDup uses 50k cells at web scale). ``max_cluster`` bounds the
+    anchor side of any degenerate hot cell: members are compared only
+    against the cell's ``max_cluster`` farthest-from-centroid rows
+    (rank by dist2 desc, id asc — deterministic, and the prune rule's
+    dominators are exactly the far rows, so small-dist2 anchors are the
+    ones that can be dropped safely); capped cells are flagged via
+    ``capped``. NULL/ragged vectors get NULL cluster and are never
+    pruned (failure-as-rows).
+
+    Returns (id_col, cluster, dist2, capped, pruned).
+    """
+    assign = kmeans_fit_assign(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, with_distance=True
+    )
+    vecs = df.select(
+        F.col(id_col).alias("pid"), to_double(F.col(vec_col)).alias("v")
+    )
+    m = (
+        assign.withColumnRenamed(id_col, "pid")
+        .join(vecs, "pid")
+        .where(F.col("cluster").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("dist2"), F.asc("pid")
+    )
+    ranked = m.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    )
+    anchors = ranked.where(F.col("rnk") <= max_cluster).select(
+        F.col("cluster").alias("a_cl"),
+        F.col("pid").alias("a_id"),
+        F.col("dist2").alias("a_d2"),
+        F.col("v").alias("a_v"),
+    )
+    from avro_conversions_spark.functions.vectors import cosine
+
+    pairs = ranked.join(
+        anchors,
+        (F.col("cluster") == F.col("a_cl")) & (F.col("pid") != F.col("a_id")),
+    )
+    dominated = (
+        (F.round(cosine(F.col("a_v"), F.col("v")), 6) >= F.lit(threshold))
+        & (
+            (F.col("a_d2") > F.col("dist2"))
+            | ((F.col("a_d2") == F.col("dist2")) & (F.col("a_id") < F.col("pid")))
+        )
+    )
+    pruned_ids = (
+        pairs.where(dominated).select(F.col("pid")).distinct().withColumn(
+            "pruned", F.lit(True)
+        )
+    )
+    flags = ranked.select(
+        "pid", (F.col("csize") > max_cluster).alias("capped")
+    )
+    return (
+        assign.withColumnRenamed(id_col, "pid")
+        .join(flags, "pid", "left")
+        .join(pruned_ids, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "cluster",
+            "dist2",
+            F.coalesce("capped", F.lit(False)).alias("capped"),
+            F.coalesce("pruned", F.lit(False)).alias("pruned"),
+        )
+    )

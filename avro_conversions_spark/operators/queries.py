@@ -1467,6 +1467,19 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_fit_assign(emb, k=8, iters=3, with_distance=True)
 
 
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: deterministic k-means
+    cells, then cell-local ε-similar pruning keyed on the cluster id —
+    never a corpus-global pair join. Pruning is a declarative predicate
+    (dominated by a farther-from-centroid ε-neighbor, id tie-break), so
+    the DuckDB oracle replays cells AND prune decisions row-for-row.
+    Scale knobs: k (SemDeDup uses 50k cells at web scale) and
+    max_cluster (anchor bound on degenerate hot cells, flagged via
+    `capped`). See clustering.semdedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.semdedup(emb, k=8, iters=3, threshold=0.2, max_cluster=512)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1538,6 +1551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_transcripts": q_validate_transcripts,
     "lm_perplexity_documents": q_lm_perplexity_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
@@ -1693,14 +1707,52 @@ WITH pts AS (
 )"""
         )
     parts.append(
-        f"""
-SELECT vec_id, cl::INT AS cluster, round(d, 4) AS dist2 FROM (
-  SELECT p.vec_id, c.cl, {d2} AS d,
-         row_number() OVER (PARTITION BY p.vec_id ORDER BY {d2}, c.cl) AS rn
-  FROM pts p, c{iters} c
-) WHERE rn = 1"""
+        f""", assign AS (
+  SELECT vec_id, cl::INT AS cluster, round(d, 4) AS dist2 FROM (
+    SELECT p.vec_id, c.cl, {d2} AS d,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {d2}, c.cl) AS rn
+    FROM pts p, c{iters} c
+  ) WHERE rn = 1
+)"""
     )
     return "".join(parts)
+
+
+def _semdedup_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    threshold: float = 0.2,
+    max_cluster: int = 512,
+) -> str:
+    """Extends the unrolled k-means CTE chain with the SemDeDup pruning
+    predicate (clustering.semdedup): cell-local anchor join, dominated =
+    ε-similar to a farther-from-centroid (4dp dist2, id tie-break)
+    anchor. Integer ids + booleans out — immune to last-ulp drift; the
+    only float comparisons (dist2, cosine@6dp) run identical fp ops on
+    both engines."""
+    return (
+        _kmeans_oracle_sql(k=k, iters=iters, dim=dim)
+        + f""", m AS (
+  SELECT a.vec_id, a.cluster, a.dist2, p.v
+  FROM assign a JOIN pts p USING (vec_id)
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster ORDER BY dist2 DESC, vec_id) AS rnk,
+         count(*) OVER (PARTITION BY cluster) AS csize
+  FROM m
+), pr AS (
+  SELECT DISTINCT b.vec_id
+  FROM r b JOIN r a ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+  WHERE a.rnk <= {max_cluster}
+    AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    AND (a.dist2 > b.dist2 OR (a.dist2 = b.dist2 AND a.vec_id < b.vec_id))
+)
+SELECT r.vec_id, r.cluster, r.dist2,
+       (r.csize > {max_cluster}) AS capped,
+       (pr.vec_id IS NOT NULL) AS pruned
+FROM r LEFT JOIN pr ON pr.vec_id = r.vec_id"""
+    )
 
 _SHINGLE_CTE = r"""
 WITH toks AS (
@@ -2644,7 +2696,11 @@ SELECT p.doc_id,
 FROM p JOIN lm USING (w1, w2) JOIN ctx USING (w1), v
 GROUP BY p.doc_id
 """,
-    "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64),
+    "kmeans_embeddings": _kmeans_oracle_sql(k=8, iters=3, dim=64)
+    + "\nSELECT vec_id, cluster, dist2 FROM assign",
+    "semdedup_embeddings": _semdedup_oracle_sql(
+        k=8, iters=3, dim=64, threshold=0.2, max_cluster=512
+    ),
     "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=3, lr=5.0),
     "stream_curate_documents": _stream_curate_oracle_sql(),
     "vocab_drift_documents": r"""
