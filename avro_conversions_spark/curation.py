@@ -164,3 +164,142 @@ def curate(
         "dup_ngram_frac",
         "fingerprint",
     )
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def bigram_buckets(text: Column, n_buckets: int) -> Column:
+    """Lowercased whitespace word bigrams → md5 hash buckets
+    (array<long>), the DSIR feature map (Xie et al. 2023 use hashed
+    unigram+bigram n-grams). Same md5-prefix arithmetic as
+    sampling.hash_bucket / classifier.token_buckets, so a DuckDB oracle
+    reproduces every bucket id. Empty array (never NULL-poison, never a
+    descending-sequence trap) for texts with < 2 tokens."""
+    toks = F.split(F.lower(text), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    return F.when(n >= 2, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): fit hashed-bigram bag-of-words models of the
+    ``target`` (curated seed) and ``raw`` corpora, then score every raw
+    document by its log importance ratio
+
+        weight(d) = Σ_b  cnt_d[b] · ( ln p_target[b] − ln p_raw[b] )
+
+    with add-``alpha`` smoothing over ``n_buckets`` buckets. Returns
+    (id_col, n_bigrams, weight) for every raw document with ≥ 1 bigram;
+    weight is rounded to 4dp (absorbs float sum-order drift, same
+    contract as the LM/classifier scores).
+
+    Scale shape: both fits are explode → two-phase hash agg bounded by
+    ``n_buckets`` distinct keys; the λ (log-ratio) table is ≤ n_buckets
+    rows and joins the per-document counts via broadcast, so the corpus
+    side never shuffles grams — the only corpus-sized exchange is the
+    (doc, bucket) partial-count agg, itself bounded per document by
+    distinct buckets, not token count.
+    """
+    bg_raw = raw.select(
+        F.col(id_col),
+        F.explode(bigram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    bg_tgt = target.select(
+        F.explode(bigram_buckets(F.col(text_col), n_buckets)).alias("bucket")
+    )
+    rcnt = bg_raw.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("rc"))
+    tcnt = bg_tgt.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("tc"))
+    tot_r = rcnt.agg(F.sum("rc").alias("tr"))
+    tot_t = tcnt.agg(F.coalesce(F.sum("tc"), F.lit(0.0)).alias("tt"))
+    b = float(n_buckets)
+    lam = (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0.0)) + F.lit(alpha))
+                    / (F.col("tt") + F.lit(alpha * b))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(alpha)) / (F.col("tr") + F.lit(alpha * b))
+                )
+            ).alias("lam"),
+        )
+    )
+    dc = bg_raw.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return (
+        dc.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * F.col("lam")), 4).alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    frac: float = 0.1,
+) -> DataFrame:
+    """DSIR selection: keep the top ``frac`` of raw documents by
+    importance weight (deterministic rank: weight desc, id asc — the
+    paper's Gumbel-noise resampling replaced by a reproducible top-k, as
+    befits an oracle-checked engine). Returns the selected rows only,
+    ordered: (id_col, n_bigrams, weight).
+
+    Scale shape: weights() output is one tiny row per document (id, two
+    numbers) — persisted, counted, then top-k'd via sort+limit, which
+    Spark executes as TakeOrderedAndProject: a per-partition heap of k
+    followed by a k·P driver merge — no global sort exchange ever
+    materializes the corpus ordering.
+    """
+    w = dsir_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, alpha=alpha,
+    ).persist()
+    try:
+        total = w.count()
+        k = int(-(-frac * total // 1))  # ceil without math import
+        return w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)
+    finally:
+        # lazy unpersist: marks evictable; limit() consumers re-read cheaply
+        w.unpersist()

@@ -1480,6 +1480,20 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.semdedup(emb, k=8, iters=3, threshold=0.2, max_cluster=512)
 
 
+def q_dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    weights of every document against a curated seed slice (here the
+    deterministic doc_id % 5 == 0 subset), keep the top 20% by weight
+    (rank: weight desc, id asc). λ table ≤ n_buckets rows → broadcast;
+    top-k via sort+limit = TakeOrderedAndProject, no global sort
+    exchange. See curation.dsir_select."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    return curation.dsir_select(
+        docs, target, n_buckets=512, alpha=0.5, frac=0.2
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1552,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity_documents": q_lm_perplexity_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "dsir_documents": q_dsir_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
@@ -2701,6 +2716,43 @@ GROUP BY p.doc_id
     "semdedup_embeddings": _semdedup_oracle_sql(
         k=8, iters=3, dim=64, threshold=0.2, max_cluster=512
     ),
+    # DSIR: add-0.5-smoothed hashed-bigram log-ratio weights vs the
+    # doc_id%5 seed slice; top-20% by (weight desc, doc_id). Integer
+    # counts throughout the fit; ln()/sum-order drift absorbed by the
+    # 4dp weight rounding (same contract as the LM/classifier scores).
+    "dsir_documents": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))::UBIGINT
+            % 512)::BIGINT AS bucket
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)
+), rcnt AS (
+  SELECT bucket, count(*)::DOUBLE AS rc FROM bg GROUP BY bucket
+), tcnt AS (
+  SELECT bucket, count(*)::DOUBLE AS tc FROM bg WHERE doc_id % 5 = 0
+  GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM bg)::DOUBLE AS tr,
+         (SELECT count(*) FROM bg WHERE doc_id % 5 = 0)::DOUBLE AS tt
+), lam AS (
+  SELECT r.bucket,
+         ln((coalesce(t.tc, 0.0) + 0.5) / (tot.tt + 0.5 * 512))
+       - ln((r.rc + 0.5) / (tot.tr + 0.5 * 512)) AS lam
+  FROM rcnt r LEFT JOIN tcnt t USING (bucket), tot
+), wts AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+         round(sum(cnt * lam), 4) AS weight
+  FROM (SELECT doc_id, bucket, count(*)::DOUBLE AS cnt
+        FROM bg GROUP BY doc_id, bucket)
+  JOIN lam USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, weight FROM wts
+QUALIFY row_number() OVER (ORDER BY weight DESC, doc_id)
+        <= ceil(0.2 * count(*) OVER ())
+""",
     "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=3, lr=5.0),
     "stream_curate_documents": _stream_curate_oracle_sql(),
     "vocab_drift_documents": r"""

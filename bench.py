@@ -74,6 +74,10 @@ HEADLINE = [
     "pack_documents",
     "lm_perplexity_documents",
     "kmeans_embeddings",
+    # full SemDeDup pipeline (cells + cell-local prune); kmeans above
+    # prices the fit stage alone
+    "semdedup_embeddings",
+    "dsir_documents",
     "quality_classifier_documents",
     "editdist_pairs_documents",
     "corpus_audit_documents",
