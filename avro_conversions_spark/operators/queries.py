@@ -1494,6 +1494,25 @@ def q_dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (1, "spark hash join"),
+    (2, "window agg batch"),
+    (3, "slow table scan"),
+]
+
+
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: top-10 documents for three fixed
+    queries (Robertson/Lucene idf, k1=1.2, b=0.75). The idf table is
+    restricted to the broadcast query vocabulary before aggregation, so
+    the corpus-wide vocab never shuffles; per-query top-k is a salted
+    two-phase rank (no hot-query single-reducer). See
+    similarity.bm25_search."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return similarity.bm25_search(docs, queries, topk=10)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1567,6 +1586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dsir_documents": q_dsir_documents,
+    "bm25_documents": q_bm25_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
@@ -2752,6 +2772,46 @@ WITH toks AS (
 SELECT doc_id, n_bigrams, weight FROM wts
 QUALIFY row_number() OVER (ORDER BY weight DESC, doc_id)
         <= ceil(0.2 * count(*) OVER ())
+""",
+    # BM25 (Robertson/Lucene): integer tf/df/dl counts; only ln() and
+    # the final sum carry float drift, absorbed by 4dp score rounding.
+    # Rank ties broken by lower doc_id in both engines.
+    "bm25_documents": r"""
+WITH q(query_id, query) AS (
+  VALUES (1, 'spark hash join'), (2, 'window agg batch'),
+         (3, 'slow table scan')
+), toks AS (
+  SELECT doc_id AS did, unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT did, term, count(*)::DOUBLE AS tf FROM toks GROUP BY did, term
+), dlen AS (
+  SELECT did, count(*)::DOUBLE AS dl FROM toks GROUP BY did
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dlen
+), qt AS (
+  SELECT query_id AS qid,
+         unnest(list_distinct(string_split_regex(lower(query), '\s+'))) AS term
+  FROM q
+), qv AS (SELECT DISTINCT term FROM qt
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf JOIN qv USING (term)
+  GROUP BY term
+), idf AS (
+  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq, stats
+), scored AS (
+  SELECT qid, did,
+         round(sum(idf * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+           AS score
+  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dlen USING (did)
+  GROUP BY qid, did
+)
+SELECT qid AS query_id, rank, did AS doc_id, score FROM (
+  SELECT qid, did, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+  FROM scored
+) WHERE rank <= 10
 """,
     "quality_classifier_documents": _lr_oracle_sql(n_buckets=256, iters=3, lr=5.0),
     "stream_curate_documents": _stream_curate_oracle_sql(),

@@ -78,6 +78,7 @@ HEADLINE = [
     # prices the fit stage alone
     "semdedup_embeddings",
     "dsir_documents",
+    "bm25_documents",
     "quality_classifier_documents",
     "editdist_pairs_documents",
     "corpus_audit_documents",
