@@ -1265,6 +1265,7 @@ def q_drift_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRANSCRIPTS_ORACLE_PATH = f"/tmp/acs_oracle_transcripts_{os.getpid()}"
+CONV_PROFILE_ORACLE_PATH = f"/tmp/acs_oracle_convprofile_{os.getpid()}"
 
 
 def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1298,6 +1299,33 @@ def q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select(
         F.col("constraint").alias("check_name"), "status", "violation_count", "rows_checked"
     )
+
+
+def q_conv_profile_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation verdict card over the deterministic corrupted
+    transcript table: one row per conv_id with exact violation counters
+    per constraint family (invalid role, dangling tool, duplicate keys,
+    index gaps, ts regressions) and an overall passed flag — the north
+    rule's pass/fail at the conversation grain. One exchange total: the
+    sequence window and the rollup share the conv_id partitioning. The
+    table is materialized to a fixed parquet path so the DuckDB oracle
+    counts the exact same rows. See transcripts.conversation_profile."""
+    from avro_conversions_spark.transcripts import (
+        conversation_profile,
+        tool_catalog,
+        transcripts,
+    )
+
+    n_convs = 2000 if "0.1" in sf_dir else 500
+    df = transcripts(
+        spark,
+        n_convs=n_convs,
+        turns_per_conv=10,
+        corruptions={"role_invalid", "dangling_tool", "dup_key", "ts_regression"},
+    )
+    df.write.mode("overwrite").parquet(CONV_PROFILE_ORACLE_PATH)
+    df = spark.read.parquet(CONV_PROFILE_ORACLE_PATH)
+    return conversation_profile(df, tool_catalog(spark))
 
 
 def q_lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1587,6 +1615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "dsir_documents": q_dsir_documents,
     "bm25_documents": q_bm25_documents,
+    "conv_profile_transcripts": q_conv_profile_transcripts,
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
@@ -2539,6 +2568,35 @@ SELECT check_name,
        violation_count::BIGINT AS violation_count,
        (SELECT rc FROM n)::BIGINT AS rows_checked
 FROM checks
+""",
+    "conv_profile_transcripts": f"""
+WITH t AS (SELECT * FROM read_parquet('{CONV_PROFILE_ORACLE_PATH}/*.parquet')),
+seq AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - 1
+           AS rn,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_ts
+  FROM t
+), agg AS (
+  SELECT conv_id,
+         count(*) AS n_turns,
+         count(tool) AS n_tool_turns,
+         count(*) FILTER (role IS NOT NULL AND role NOT IN
+           ('system','user','assistant','tool')) AS n_invalid_role,
+         count(*) FILTER (tool IS NOT NULL AND tool NOT IN
+           ('search','calculator','code_exec','browser','retrieval'))
+           AS n_dangling_tool,
+         count(*) - count(DISTINCT turn_idx) AS n_dup_keys,
+         count(*) FILTER (turn_idx != rn) AS n_gaps,
+         count(*) FILTER (prev_ts IS NOT NULL AND ts < prev_ts)
+           AS n_ts_regressions
+  FROM seq GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_tool_turns, n_invalid_role, n_dangling_tool,
+       n_dup_keys, n_gaps, n_ts_regressions,
+       (n_invalid_role = 0 AND n_dangling_tool = 0 AND n_dup_keys = 0
+        AND n_gaps = 0 AND n_ts_regressions = 0) AS passed
+FROM agg
 """,
     "resolve_events_jsonschema": """
 SELECT event_id,

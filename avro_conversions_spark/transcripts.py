@@ -17,7 +17,7 @@ dangling_tool  ts_regression``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ROLES = ("system", "user", "assistant", "tool")
@@ -158,3 +158,69 @@ def transcripts(
         df = df.unionByName(dups)
 
     return df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text", "tool", "ts")
+
+
+def conversation_profile(df: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Per-conversation verdict card — the north rule's pass/fail at the
+    conversation grain (the natural unit a transcript consumer acts on):
+    for every conv_id, the turn count, tool-call count, and one violation
+    counter per constraint family, plus an overall ``passed`` flag.
+
+    Counters (all exact integers — oracle-exact):
+      n_invalid_role   role present but outside the ROLES enum
+      n_dangling_tool  tool named but absent from the catalog
+      n_dup_keys       surplus rows beyond distinct turn_idx values
+      n_gaps           turns whose turn_idx != its 0-based rank
+                       (ordered by turn_idx, ts — the ts tiebreak makes
+                       the count deterministic under duplicate keys)
+      n_ts_regressions turns whose ts precedes the previous turn's ts
+                       in that same order
+
+    Scale shape: ONE exchange — the window partitions by conv_id and the
+    follow-up groupBy aggregates on the same key, so Catalyst reuses the
+    partitioning (no second shuffle); the catalog membership check is a
+    broadcast left join (catalogs are small relative to the corpus, but
+    unbounded — never a collected isin literal). Hot conversations cost
+    O(conv size) in one task, same bound the engine's SequenceConstraint
+    already carries.
+    """
+    cat = catalog.select(F.col(catalog.columns[0]).alias("_cat_tool")).distinct()
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    seq = (
+        df.join(
+            F.broadcast(cat), F.col("tool") == F.col("_cat_tool"), "left"
+        )
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+    )
+    agg = seq.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("tool").alias("n_tool_turns"),
+        F.count(
+            F.when(
+                F.col("role").isNotNull() & ~F.col("role").isin(*ROLES), 1
+            )
+        ).alias("n_invalid_role"),
+        F.count(
+            F.when(F.col("tool").isNotNull() & F.col("_cat_tool").isNull(), 1)
+        ).alias("n_dangling_tool"),
+        (F.count(F.lit(1)) - F.countDistinct("turn_idx")).alias("n_dup_keys"),
+        F.count(F.when(F.col("turn_idx") != F.col("_rn"), 1)).alias("n_gaps"),
+        F.count(
+            F.when(
+                F.col("_prev_ts").isNotNull()
+                & (F.col("ts") < F.col("_prev_ts")),
+                1,
+            )
+        ).alias("n_ts_regressions"),
+    )
+    return agg.select(
+        "*",
+        (
+            (F.col("n_invalid_role") == 0)
+            & (F.col("n_dangling_tool") == 0)
+            & (F.col("n_dup_keys") == 0)
+            & (F.col("n_gaps") == 0)
+            & (F.col("n_ts_regressions") == 0)
+        ).alias("passed"),
+    )

@@ -79,6 +79,7 @@ HEADLINE = [
     "semdedup_embeddings",
     "dsir_documents",
     "bm25_documents",
+    "conv_profile_transcripts",
     "quality_classifier_documents",
     "editdist_pairs_documents",
     "corpus_audit_documents",
