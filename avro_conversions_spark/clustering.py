@@ -194,8 +194,24 @@ def semdedup(
     assign = kmeans_fit_assign(
         df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, with_distance=True
     )
-    vecs = df.select(
-        F.col(id_col).alias("pid"), to_double(F.col(vec_col)).alias("v")
+    from avro_conversions_spark.functions.vectors import dot_double, norm
+
+    # pre-normalize ONCE PER ROW (staged through real columns — an
+    # inlined norm would re-evaluate the aggregate per element inside the
+    # transform lambda): the pair predicate then costs a single dot
+    # product instead of dot + two norms per candidate pair (sf0.1:
+    # 44 s -> 10-12 s warm end-to-end). Zero-norm vectors get NULL vn —
+    # cosine undefined — so they can neither dominate nor be pruned.
+    vecs = (
+        df.select(F.col(id_col).alias("pid"), to_double(F.col(vec_col)).alias("v"))
+        .withColumn("_nrm", norm(F.col("v")))
+        .select(
+            "pid",
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(F.col("v"), lambda x: x / F.col("_nrm")),
+            ).alias("vn"),
+        )
     )
     m = (
         assign.withColumnRenamed(id_col, "pid")
@@ -214,16 +230,14 @@ def semdedup(
         F.col("cluster").alias("a_cl"),
         F.col("pid").alias("a_id"),
         F.col("dist2").alias("a_d2"),
-        F.col("v").alias("a_v"),
+        F.col("vn").alias("a_vn"),
     )
-    from avro_conversions_spark.functions.vectors import cosine
-
     pairs = ranked.join(
         anchors,
         (F.col("cluster") == F.col("a_cl")) & (F.col("pid") != F.col("a_id")),
     )
     dominated = (
-        (F.round(cosine(F.col("a_v"), F.col("v")), 6) >= F.lit(threshold))
+        (F.round(dot_double(F.col("a_vn"), F.col("vn")), 6) >= F.lit(threshold))
         & (
             (F.col("a_d2") > F.col("dist2"))
             | ((F.col("a_d2") == F.col("dist2")) & (F.col("a_id") < F.col("pid")))

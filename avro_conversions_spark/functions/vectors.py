@@ -54,3 +54,15 @@ def simhash_bits(v: Column, bits: int = 16) -> Column:
         lambda acc, x: acc + x,
     )
     return F.when(F.size(v) >= bits, packed)
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """``dot`` for columns that are ALREADY array<double> — skips the
+    defensive per-element cast (each ``to_double`` allocates a fresh
+    array per evaluation, which matters in pair-join hot paths where a
+    dot runs once per candidate pair)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -1792,13 +1792,19 @@ def _semdedup_oracle_sql(
     """Extends the unrolled k-means CTE chain with the SemDeDup pruning
     predicate (clustering.semdedup): cell-local anchor join, dominated =
     ε-similar to a farther-from-centroid (4dp dist2, id tie-break)
-    anchor. Integer ids + booleans out — immune to last-ulp drift; the
-    only float comparisons (dist2, cosine@6dp) run identical fp ops on
-    both engines."""
+    anchor. Cosine is computed as a dot of pre-normalized vectors in
+    BOTH engines (the Spark side stages the normalization once per row —
+    one aggregate per pair instead of three). Integer ids + booleans
+    out — immune to last-ulp drift; the only float comparisons (dist2,
+    normalized-dot@6dp) run identical fp ops on both engines."""
     return (
         _kmeans_oracle_sql(k=k, iters=iters, dim=dim)
         + f""", m AS (
-  SELECT a.vec_id, a.cluster, a.dist2, p.v
+  SELECT a.vec_id, a.cluster, a.dist2,
+         CASE WHEN list_dot_product(p.v, p.v) > 0
+              THEN list_transform(p.v,
+                     x -> x / sqrt(list_dot_product(p.v, p.v)))
+         END AS vn
   FROM assign a JOIN pts p USING (vec_id)
 ), r AS (
   SELECT *,
@@ -1809,7 +1815,7 @@ def _semdedup_oracle_sql(
   SELECT DISTINCT b.vec_id
   FROM r b JOIN r a ON a.cluster = b.cluster AND a.vec_id != b.vec_id
   WHERE a.rnk <= {max_cluster}
-    AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    AND round(list_dot_product(a.vn, b.vn), 6) >= {threshold}
     AND (a.dist2 > b.dist2 OR (a.dist2 = b.dist2 AND a.vec_id < b.vec_id))
 )
 SELECT r.vec_id, r.cluster, r.dist2,
