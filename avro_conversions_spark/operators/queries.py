@@ -324,6 +324,18 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, budget=512, n_buckets=8)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 64-token windows advancing by 48 (overlap 16)
+    over every document; the last window covers the tail, short docs get
+    one chunk. Pure projection + explode — ZERO exchanges (plan pinned
+    by test); placement is integer arithmetic so the oracle replays
+    every chunk boundary and the chunk text itself byte-for-byte."""
+    from avro_conversions_spark import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.chunk_documents(docs, window=64, stride=48)
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% per-language sample: membership is a pure
     function of (seed, lang, doc_id), reproducible row-for-row by the
@@ -1616,6 +1628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_documents": q_dsir_documents,
     "bm25_documents": q_bm25_documents,
     "conv_profile_transcripts": q_conv_profile_transcripts,
+    "chunk_documents": q_chunk_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
@@ -2574,6 +2587,22 @@ SELECT check_name,
        violation_count::BIGINT AS violation_count,
        (SELECT rc FROM n)::BIGINT AS rows_checked
 FROM checks
+""",
+    # chunking: pure integer placement arithmetic; chunk text compared
+    # byte-for-byte (same tokenizer convention as every toks CTE).
+    "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), spec AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) > 64
+              THEN (len(t) - 64 + 47) // 48 + 1 ELSE 1 END AS n_chunks
+  FROM toks WHERE t IS NOT NULL
+)
+SELECT doc_id, i::INT AS chunk_idx,
+       len(t[i * 48 + 1 : i * 48 + 64]) AS n_chunk_tokens,
+       array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM spec)
 """,
     "conv_profile_transcripts": f"""
 WITH t AS (SELECT * FROM read_parquet('{CONV_PROFILE_ORACLE_PATH}/*.parquet')),

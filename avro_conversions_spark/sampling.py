@@ -147,3 +147,62 @@ def pack_sequences(
             "spans_boundary"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG/pretraining-style document chunking: split every document into
+    fixed-size token windows of ``window`` tokens advancing by ``stride``
+    (overlap = window − stride), the standard context-window prep for
+    retrieval corpora and long-document training.
+
+    Chunk-count contract (pure integer arithmetic, so the DuckDB oracle
+    replays placement exactly): n ≤ window → 1 chunk; otherwise
+    ``floor((n − window + stride − 1)/stride) + 1`` — starts at
+    0, stride, 2·stride, …, and the last window always covers the tail
+    (a trailing chunk may be shorter than ``window`` but is never
+    re-padded). NULL text → no chunks (failure-as-rows at the feature
+    level); empty/whitespace text chunks its (possibly empty-string)
+    tokens like any other — never a crash.
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk).
+
+    Scale shape: ZERO exchanges — a staged tokenize projection, a
+    row-local window-index transform, and one explode; chunking rides
+    whatever scan partitioning the input already has (plan pinned by
+    test). Token arrays are staged as real columns per the repo's
+    lambda-CSE discipline.
+    """
+    if stride < 1 or window < 1 or stride > window:
+        raise ValueError(f"need 1 <= stride <= window, got {window=} {stride=}")
+    staged = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    n_chunks = F.when(
+        n > window, F.floor((n - window + stride - 1) / stride) + 1
+    ).otherwise(F.lit(1))
+    chunks = F.when(
+        F.col("_toks").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(F.col("_toks"), i * stride + 1, window).alias("_ct"),
+            ),
+        ),
+    )  # NULL text -> NULL array -> explode drops the row (no chunks)
+    return (
+        staged.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.size("_c._ct").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_c._ct").alias("chunk"),
+        )
+    )

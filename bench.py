@@ -80,6 +80,7 @@ HEADLINE = [
     "dsir_documents",
     "bm25_documents",
     "conv_profile_transcripts",
+    "chunk_documents",
     "quality_classifier_documents",
     "editdist_pairs_documents",
     "corpus_audit_documents",
