@@ -313,3 +313,50 @@ def dsir_select(
     finally:
         # lazy unpersist: marks evictable; limit() consumers re-read cheaply
         w.unpersist()
+
+
+def split_leakage(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Train/eval split-leakage audit: near-duplicate pairs that CROSS a
+    split boundary. Deduplicating before splitting is the textbook fix
+    for eval contamination (Lee et al. 2022 §6.2 measure the inflation
+    when you don't); this operator measures the leak on an EXISTING
+    split — every (a, b) candidate near-dup pair whose two sides landed
+    in different splits, i.e. an eval example whose near-copy is in
+    train.
+
+    ``candidates``: (id_a, id_b) near-dup candidate pairs from any lens
+    (MinHash-LSH banding, SimHash buckets, embedding cells). Splits are
+    recomputed from (seed, id) via sampling.split_assign — pure hash
+    arithmetic, so the audit needs no stored split column and the DuckDB
+    oracle replays membership exactly.
+
+    Returns (id_a, id_b, split_a, split_b) for crossing pairs only,
+    id_a < id_b normalized.
+
+    Scale shape: the split map is a projection of the (tiny per-row)
+    id column; the audit is two broadcast-or-key joins of the candidate
+    pair table against it — candidate pairs are LSH-bounded (never all
+    pairs), and the filter keeps only the rare crossing rows.
+    """
+    from avro_conversions_spark import sampling
+
+    splits = sampling.split_assign(
+        df.select(id_col), id_col=id_col, weights=weights, seed=seed
+    ).select(F.col(id_col).alias("_sid"), F.col("split").alias("_sp"))
+    a = F.least(F.col("id_a"), F.col("id_b")).alias("id_a")
+    b = F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b")
+    norm = candidates.select(a, b).where(F.col("id_a") != F.col("id_b")).distinct()
+    out = (
+        norm.join(splits, norm["id_a"] == splits["_sid"])
+        .select("id_a", "id_b", F.col("_sp").alias("split_a"))
+        .join(splits, F.col("id_b") == splits["_sid"])
+        .select("id_a", "id_b", "split_a", F.col("_sp").alias("split_b"))
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    return out

@@ -336,6 +336,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_documents(docs, window=64, stride=48)
 
 
+def q_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit: MinHash-LSH near-dup candidate
+    pairs whose two sides landed in different splits of a seed-0
+    80/10/10 hash split — each row is an eval example whose
+    near-copy sits in train (Lee et al. 2022 §6.2's contamination
+    channel, measured instead of assumed away). Candidates are
+    LSH-bounded, split membership is pure hash arithmetic, so the
+    oracle replays both sides exactly. See curation.split_leakage."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    return curation.split_leakage(
+        docs, cands, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% per-language sample: membership is a pure
     function of (seed, lang, doc_id), reproducible row-for-row by the
@@ -1629,6 +1644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_documents": q_bm25_documents,
     "conv_profile_transcripts": q_conv_profile_transcripts,
     "chunk_documents": q_chunk_documents,
+    "split_leakage_documents": q_split_leakage_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
     "editdist_pairs_documents": q_editdist_pairs_documents,
     "corpus_audit_documents": q_corpus_audit_documents,
@@ -2086,6 +2102,24 @@ FROM documents
 """,
     "minhash_lsh_documents": _SHINGLE_CTE + _MINHASH_CTES + r"""
 SELECT id_a, id_b FROM cand
+""",
+    # split-leakage: LSH candidate pairs (same CTEs as minhash_lsh) x the
+    # seed-0 hash-split membership (same arithmetic as split_documents)
+    "split_leakage_documents": _SHINGLE_CTE + _MINHASH_CTES + r""",
+sp AS (
+  SELECT doc_id,
+         CASE WHEN (('0x' || substr(md5('0_' || doc_id::varchar), 1, 8))::UBIGINT)::BIGINT
+                   % 1000000 < 800000 THEN 'train'
+              WHEN (('0x' || substr(md5('0_' || doc_id::varchar), 1, 8))::UBIGINT)::BIGINT
+                   % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT c.id_a, c.id_b, a.split AS split_a, b.split AS split_b
+FROM cand c
+JOIN sp a ON a.doc_id = c.id_a
+JOIN sp b ON b.doc_id = c.id_b
+WHERE a.split != b.split
 """,
     "minhash_rowsig_documents": _SHINGLE_CTE + r""",
 seeds AS (SELECT unnest(range(4)) AS seed),

@@ -81,6 +81,7 @@ HEADLINE = [
     "bm25_documents",
     "conv_profile_transcripts",
     "chunk_documents",
+    "split_leakage_documents",
     "quality_classifier_documents",
     "editdist_pairs_documents",
     "corpus_audit_documents",
