@@ -189,6 +189,13 @@ def semdedup(
     ``capped``. NULL/ragged vectors get NULL cluster and are never
     pruned (failure-as-rows).
 
+    ``threshold`` must be set per corpus: the 0.2 default matches the
+    synthetic near-orthogonal oracle fixture, where only planted
+    near-dups exceed it. On real embedding corpora most pairs exceed
+    cosine 0.2, which would collapse each cell to roughly one survivor —
+    SemDeDup's production regime is ε ≈ 0.9–0.95 similarity (the paper
+    tunes ε per model/corpus).
+
     Returns (id_col, cluster, dist2, capped, pruned).
     """
     assign = kmeans_fit_assign(

@@ -302,17 +302,20 @@ def dsir_select(
     followed by a k·P driver merge — no global sort exchange ever
     materializes the corpus ordering.
     """
+    # localCheckpoint, not persist+unpersist: the count() that sizes k is
+    # an action taken BEFORE the returned lazy top-k executes, so a
+    # persist released in a finally block was always gone by the time the
+    # consumer ran — the weights pipeline was computed twice (ADVICE r5).
+    # An eager localCheckpoint materializes the tiny (id, n_bigrams,
+    # weight) frame once; both the count and the consumer's
+    # TakeOrderedAndProject read the materialized blocks.
     w = dsir_weights(
         raw, target, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, alpha=alpha,
-    ).persist()
-    try:
-        total = w.count()
-        k = int(-(-frac * total // 1))  # ceil without math import
-        return w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)
-    finally:
-        # lazy unpersist: marks evictable; limit() consumers re-read cheaply
-        w.unpersist()
+    ).localCheckpoint(eager=True)
+    total = w.count()
+    k = int(-(-frac * total // 1))  # ceil without math import
+    return w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)
 
 
 def split_leakage(

@@ -130,22 +130,36 @@ def with_minhash_signature(
         "_mh_shingles", shingles_from_tokens(F.col("_mh_toks"), shingle_n)
     )
     if hash_fn == "xxhash":
-        def one_hash(s: Column, sh: Column) -> Column:
-            return F.xxhash64(s, sh)
+        def seed_min(s: Column) -> Column:
+            return F.array_min(
+                F.transform(F.col("_mh_shingles"), lambda sh: F.xxhash64(s, sh))
+            )
     elif hash_fn == "md5":
-        def one_hash(s: Column, sh: Column) -> Column:
+        def seed_min(s: Column) -> Column:
+            # min over the FULL md5 hex strings, then one substring+conv on
+            # the winner: fixed-length lowercase hex orders lexicographically
+            # exactly like its numeric value, so argmin is unchanged and the
+            # per-(shingle × seed) conv/substring of the historical form
+            # collapses to once per seed — measured 1.7 → 1.25 s at sf0.1,
+            # values bit-identical (oracle formula untouched).
             return F.conv(
-                F.substring(F.md5(F.concat(s.cast("string"), sh)), 1, 8), 16, 10
+                F.substring(
+                    F.array_min(
+                        F.transform(
+                            F.col("_mh_shingles"),
+                            lambda sh: F.md5(F.concat(s.cast("string"), sh)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
             ).cast("long")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig_raw = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(F.col("_mh_shingles"), lambda sh: one_hash(s, sh))
-        ),
-    )
+    sig_raw = F.transform(seeds, seed_min)
     # CollapseProject inlines a staged column referenced ONCE into its
     # consumer — even into a higher-order-function lambda, where "once"
     # textually means once PER OUTER ELEMENT at runtime. With the shingle
@@ -160,6 +174,49 @@ def with_minhash_signature(
     return staged.withColumn(out_col, sig).drop("_mh_toks", "_mh_shingles")
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, band, band_key) LSH band rows from the ROW-LOCAL signature
+    (``with_minhash_signature``): the signature array is a pure projection
+    on the corpus scan — no explode-to-shingles, no (doc × shingle × seed)
+    exchange — and each band key is a slice of that array. Zero shuffles:
+    projection + one posexplode of ``ceil(num_hashes / band_size)`` short
+    rows per document (plan pinned by
+    test_lsh_candidates_band_from_rowlocal_sig). Values are
+    hash-identical to the historical grouped-explode path
+    (``minhash_signatures`` + collect_list banding), pinned by
+    test_row_local_minhash_matches_grouped and the parity half of the
+    band test, so downstream candidates are bit-for-bit unchanged."""
+    sig = with_minhash_signature(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col,
+        out_col="_mh_sig",
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        hash_fn=hash_fn,
+    ).select(F.col(id_col), F.col("_mh_sig"))
+    n_bands = -(-num_hashes // band_size)  # ceil: trailing partial band kept
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.sort_array(F.slice(F.col("_mh_sig"), b * band_size + 1, band_size)),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -167,16 +224,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on all hashes of at
     least one band. Join is per-(band, band_key) bucket — shuffle stays
-    bucket-local, no global cross join."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws("_", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
-    )
+    bucket-local, no global cross join.
+
+    The band rows come from ``minhash_band_keys`` (row-local signature,
+    zero shuffles) and are materialized ONCE via eager localCheckpoint
+    before the self-join: both join sides — and every downstream
+    reference from consumers like ngram_jaccard_pairs — read the
+    materialized band rows instead of re-deriving the signature pipeline
+    (the planner broadcasts one join side, and a broadcast build side
+    cannot share work with the streamed side, so without the checkpoint
+    the corpus was scanned and hashed twice per reference). The
+    checkpointed frame is the lightweight proxy of guide-§8: a few short
+    rows per document, never the text."""
+    banded = minhash_band_keys(
+        df, text_col, id_col, num_hashes, band_size, shingle_n, hash_fn
+    ).localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -421,12 +487,28 @@ def paragraph_minhash_clusters(
     from avro_conversions_spark.functions.text import shingles_from_tokens, tokens
 
     if hash_fn == "xxhash":
-        def one_hash(s: Column, sh: Column) -> Column:
-            return F.xxhash64(s, sh)
+        def seed_min(s: Column) -> Column:
+            return F.array_min(
+                F.transform(F.col("_psh"), lambda sh: F.xxhash64(s, sh))
+            )
     elif hash_fn == "md5":
-        def one_hash(s: Column, sh: Column) -> Column:
+        def seed_min(s: Column) -> Column:
+            # same conv-hoist as with_minhash_signature: lexicographic min of
+            # full fixed-length hex == numeric min, so substring+conv run once
+            # per seed instead of per shingle×seed — values bit-identical
             return F.conv(
-                F.substring(F.md5(F.concat(s.cast("string"), sh)), 1, 8), 16, 10
+                F.substring(
+                    F.array_min(
+                        F.transform(
+                            F.col("_psh"),
+                            lambda sh: F.md5(F.concat(s.cast("string"), sh)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
             ).cast("long")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -448,12 +530,7 @@ def paragraph_minhash_clusters(
     # same CollapseProject re-evaluation trap as with_minhash_signature
     # (plan pinned there by test_minhash_plan_stages_shingles_once)
     staged = paras.withColumn("_psh", shingles_from_tokens(F.col("_ptoks"), shingle_n))
-    sig_raw = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(F.col("_psh"), lambda sh: one_hash(s, sh))
-        ),
-    )
+    sig_raw = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), seed_min)
     sig = F.when(F.size(F.col("_psh")) >= 0, sig_raw)
     clustered = staged.select(
         F.col(id_col),

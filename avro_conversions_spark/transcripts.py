@@ -183,6 +183,13 @@ def conversation_profile(df: DataFrame, catalog: DataFrame) -> DataFrame:
     unbounded — never a collected isin literal). Hot conversations cost
     O(conv size) in one task, same bound the engine's SequenceConstraint
     already carries.
+
+    Contract: ``turn_idx`` must be non-NULL. With NULL keys,
+    ``n_dup_keys`` (count(*) − countDistinct skips NULLs) would count
+    every NULL row as a duplicate, and the window order would diverge
+    from a DuckDB replay (Spark sorts NULLS FIRST ascending, DuckDB
+    NULLS LAST) — feed NULL-key rows to the ValidationEngine's not_null
+    constraint instead of this profile.
     """
     cat = catalog.select(F.col(catalog.columns[0]).alias("_cat_tool")).distinct()
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")

@@ -62,7 +62,7 @@ spark.stop()
 """
 
 
-def gates(base: float, mem_base: float) -> tuple[float, float]:
+def gates(base: float) -> tuple[float, float]:
     return calibrate(base), mem_rate()
 
 
@@ -82,7 +82,7 @@ def main() -> None:
     while (need_suite or need_legs) and time.time() < deadline:
         nb = _base_rate(seconds=1.0, samples=1)
         base = max(base, nb)
-        pre_alu, pre_mem = gates(base, mem_base)
+        pre_alu, pre_mem = gates(base)
         mem_base = max(mem_base, pre_mem)
         clean = pre_alu >= args.gate and pre_mem >= args.mem_gate * mem_base
         print(
