@@ -307,7 +307,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
     max_shingle_freq: int | None = None,
-    persist_shingles: bool = False,
+    persist_shingles: bool | None = None,
 ) -> DataFrame:
     """Pairs with shingle-set Jaccard ≥ threshold: (id_a, id_b, jaccard).
 
@@ -319,6 +319,7 @@ def ngram_jaccard_pairs(
     sf0.1 — page-cache parquet re-decode beats the columnar-cache round
     trip, same finding as the engine's cache_input). On a cluster reading
     remote object storage, set True so the corpus is scanned once.
+    Default None = resolve from the session-wide ``remote_storage`` flag.
 
     Without ``candidates`` this self-joins on shingle (fine when shingles
     are selective / table small); at scale pass minhash_lsh_candidates to
@@ -336,6 +337,10 @@ def ngram_jaccard_pairs(
     happens for non-candidates (round-1 verdict: filtering after the
     aggregation bounded nothing).
     """
+    if persist_shingles is None:
+        from avro_conversions_spark.session import remote_storage
+
+        persist_shingles = remote_storage(df.sparkSession)
     sh_all = doc_shingles(df, text_col, id_col, shingle_n)
     if persist_shingles:
         from pyspark.storagelevel import StorageLevel
@@ -412,19 +417,37 @@ def embedding_near_duplicates(
     member is scored against the keeper) while dropping only redundant
     member-member edges. Star rows carry ``bucket_capped = true`` so the
     truncation is visible, never silent."""
+    from avro_conversions_spark.functions.vectors import dot_double, to_double
+
     b = simhash_buckets(df, vec_col, id_col, bits)
     sizes = b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
     )
     b = b.join(sizes, "bucket")
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # stage double vector + L2 norm ONCE PER ROW before the pair joins:
+    # each within-bucket pair then costs a single dot fold instead of
+    # dot + two norm folds + per-pair to_double allocations. Bit-identical
+    # to cosine(va, vb) — same float ops, hoisted below the join.
+    vecs = df.select(
+        F.col(id_col), to_double(F.col(vec_col)).alias("_dv")
+    ).withColumn("_nn", F.sqrt(dot_double(F.col("_dv"), F.col("_dv"))))
+
+    def staged_cos(va: str, na: str, vb: str, nb: str) -> Column:
+        denom = F.col(na) * F.col(nb)
+        return F.when(denom > 0, dot_double(F.col(va), F.col(vb)) / denom)
 
     small = b.where(F.col("_n") <= max_bucket)
     a_side = small.join(vecs, id_col).select(
-        F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col("bucket"),
+        F.col("_dv").alias("va"),
+        F.col("_nn").alias("na"),
     )
     b_side = small.join(vecs, id_col).select(
-        F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col("bucket"),
+        F.col("_dv").alias("vb"),
+        F.col("_nn").alias("nb"),
     )
     clique = (
         a_side.join(b_side, "bucket")
@@ -432,13 +455,17 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(staged_cos("va", "na", "vb", "nb"), 4).alias("cos"),
             F.lit(False).alias("bucket_capped"),
         )
     )
 
     big = b.where(F.col("_n") > max_bucket)
-    rep_vec = vecs.select(F.col(id_col).alias("_rep"), F.col(vec_col).alias("va"))
+    rep_vec = vecs.select(
+        F.col(id_col).alias("_rep"),
+        F.col("_dv").alias("va"),
+        F.col("_nn").alias("na"),
+    )
     star = (
         big.join(vecs, id_col)
         .join(rep_vec, "_rep")
@@ -446,7 +473,7 @@ def embedding_near_duplicates(
         .select(
             F.col("_rep").alias("id_a"),
             F.col(id_col).alias("id_b"),
-            F.round(cosine(F.col("va"), F.col(vec_col)), 4).alias("cos"),
+            F.round(staged_cos("va", "na", "_dv", "_nn"), 4).alias("cos"),
             F.lit(True).alias("bucket_capped"),
         )
     )

@@ -188,9 +188,15 @@ class ValidationEngine:
         df: DataFrame,
         run_id: str = "run-0",
         cache_violations: bool = True,
-        cache_input: bool = False,
+        cache_input: bool | None = None,
     ) -> ValidationResult:
         self.check_plan(df.schema)
+        if cache_input is None:
+            # default resolves from the session-wide remote_storage flag:
+            # see the cache_input comment below for the measured tradeoff
+            from avro_conversions_spark.session import remote_storage
+
+            cache_input = remote_storage(df.sparkSession)
         part_expr = (
             self.partition_expr if self.partition_expr is not None else F.lit("global")
         ).cast("string")

@@ -134,7 +134,7 @@ def train_lr(
     n_buckets: int = 1024,
     iters: int = 3,
     lr: float = 1.0,
-    persist_features: bool = False,
+    persist_features: bool | None = None,
 ) -> list[float]:
     """Full-batch GD on logistic loss; returns the learned weight list
     (length n_buckets+1, last = bias). label_col must be 0/1.
@@ -144,7 +144,12 @@ def train_lr(
     tokenize+hash+count lineage replays 2×iters times. On local
     NVMe/page-cache profiles the recompute WINS (the round-3/4 jaccard
     and cache_input findings); set True on remote object storage where
-    repeated corpus scans dominate."""
+    repeated corpus scans dominate. Default None = resolve from the
+    session-wide ``remote_storage`` flag."""
+    if persist_features is None:
+        from avro_conversions_spark.session import remote_storage
+
+        persist_features = remote_storage(train.sparkSession)
     feats = _features(train, id_col, text_col, n_buckets)
     if persist_features:
         feats = feats.persist()

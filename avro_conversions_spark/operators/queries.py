@@ -632,7 +632,14 @@ def q_ann_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the gate verdict hash-match the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    exact = similarity.brute_force_topk(emb, queries, k=5).select("qid", "nid")
+    # the exact top-k feeds BOTH the hit semi-join and the per-query k
+    # count; checkpoint its tiny (qid, nid) output so the O(|Q|·|C|)
+    # brute-force crossJoin executes once, not twice
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=5)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)
+    )
     lsh = similarity.lsh_topk(
         emb, queries, dim=64, k=5, n_planes=24, band_size=3
     ).select("qid", "nid")

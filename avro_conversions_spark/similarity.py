@@ -17,7 +17,29 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from avro_conversions_spark.functions.vectors import cosine, dot, norm, to_double
+from avro_conversions_spark.functions.vectors import dot_double, to_double
+
+
+def _staged_cos(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> Column:
+    """Cosine over per-side PRE-STAGED double vectors and norms: each
+    side's cast + norm fold is computed once per ROW before the pair
+    join, so a pair costs one dot fold instead of dot + two norms + six
+    per-pair to_double array allocations. Bit-identical to
+    ``cosine(a, b)``: norm/sqrt/dot evaluate the same float ops in the
+    same order, only hoisted below the join; NULL/ragged/zero-vector
+    algebra is unchanged (NULL norm or NULL dot propagates, zero denom →
+    NULL)."""
+    denom = F.col(a_norm) * F.col(b_norm)
+    return F.when(denom > 0, dot_double(F.col(a_vec), F.col(b_vec)) / denom)
+
+
+def _with_vec_norm(df: DataFrame, vec_col: str, v_out: str, n_out: str) -> DataFrame:
+    """Stage (double vector, its L2 norm) as real columns — referenced
+    ≥2× downstream, so CollapseProject keeps the projection
+    materialized (the round-4 staging discipline)."""
+    return df.withColumn(v_out, to_double(F.col(vec_col))).withColumn(
+        n_out, F.sqrt(dot_double(F.col(v_out), F.col(v_out)))
+    )
 
 
 def brute_force_topk(
@@ -29,17 +51,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (qid, rank, nid, cos).
     Deterministic tie-break on neighbor id."""
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    q = _with_vec_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        "qvec", "_qv", "_qn",
+    ).select("qid", "_qv", "_qn")
+    c = _with_vec_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
+        "nvec", "_nv", "_nn",
+    ).select("nid", "_nv", "_nn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos"),
+            F.round(_staged_cos("_qv", "_qn", "_nv", "_nn"), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
@@ -64,13 +90,23 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 
 def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 7):
-    """Add a bit-signature column from ``n_planes`` random hyperplanes."""
+    """Add a bit-signature column from ``n_planes`` random hyperplanes.
+    The vector is cast to double ONCE as a staged column (referenced by
+    every plane's dot), not per plane inside ``dot`` — n_planes fresh
+    array allocations per row otherwise; sign bits are unchanged (the
+    plane literals are already doubles, so the hoisted cast is the
+    identical float op)."""
     planes = [_hyperplane(dim, seed + i) for i in range(n_planes)]
+    staged = df.withColumn("_lsh_v", to_double(F.col(vec_col)))
     bits = []
     for p in planes:
         plane = F.array(*[F.lit(v) for v in p])
-        bits.append(F.when(dot(F.col(vec_col), plane) > 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn("sig", F.concat(*bits))
+        bits.append(
+            F.when(dot_double(F.col("_lsh_v"), plane) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return staged.withColumn("sig", F.concat(*bits)).drop("_lsh_v")
 
 
 def ivf_topk(
@@ -112,11 +148,14 @@ def ivf_topk(
     queries = queries.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == head["d"])
     )
-    c_feat = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        array_to_vector(to_double(F.col(vec_col))).alias("features"),
-    )
+    c_feat = _with_vec_norm(
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            array_to_vector(to_double(F.col(vec_col))).alias("features"),
+        ),
+        "nvec", "_nv", "_nn",
+    ).select("nid", "_nv", "_nn", "features")
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||")
     # sample the fit set: one metadata-cheap count + one narrow Bernoulli
     # scan of the features column, instead of maxIter+1 full-corpus scans
@@ -126,7 +165,7 @@ def ivf_topk(
         fit_df = fit_df.sample(False, fit_sample / n_corpus, seed)
     model = km.fit(fit_df)
     assigned = model.transform(c_feat).select(
-        "nid", "nvec", F.col("prediction").alias("cell")
+        "nid", "_nv", "_nn", F.col("prediction").alias("cell")
     )
 
     # query-side probe list: distances to the (tiny, driver-held) centroid
@@ -143,7 +182,7 @@ def ivf_topk(
 
     q_feat = queries.select(
         F.col(id_col).alias("qid"), to_double(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("_qn", F.sqrt(dot_double(F.col("qvec"), F.col("qvec"))))
     ranked_cells = F.slice(
         F.array_sort(
             F.transform(
@@ -157,14 +196,14 @@ def ivf_topk(
         n_probe,
     )
     probes = q_feat.select(
-        "qid", "qvec", F.explode(ranked_cells).alias("p")
-    ).select("qid", "qvec", F.col("p.cell").alias("cell"))
+        "qid", "qvec", "_qn", F.explode(ranked_cells).alias("p")
+    ).select("qid", "qvec", "_qn", F.col("p.cell").alias("cell"))
 
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("qid") != F.col("nid"))
         .select(
-            "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos")
+            "qid", "nid", F.round(_staged_cos("qvec", "_qn", "_nv", "_nn"), 6).alias("cos")
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
@@ -190,13 +229,21 @@ def lsh_topk(
     band with the query. Returns (qid, rank, nid, cos) — a subset of the
     brute-force result with high recall at a fraction of the comparisons."""
     n_bands = n_planes // band_size
+    # stage double vector + norm per ROW before banding: the cosine after
+    # the candidate join then costs one dot fold per pair (see _staged_cos)
     c_sig = lsh_signature(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
-        "nvec", dim, n_planes, seed,
+        _with_vec_norm(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
+            "nvec", "_nv", "_nn",
+        ).select("nid", "_nv", "_nn"),
+        "_nv", dim, n_planes, seed,
     )
     q_sig = lsh_signature(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
-        "qvec", dim, n_planes, seed,
+        _with_vec_norm(
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+            "qvec", "_qv", "_qn",
+        ).select("qid", "_qv", "_qn"),
+        "_qv", dim, n_planes, seed,
     )
 
     def banded(df: DataFrame, sig: str) -> DataFrame:
@@ -217,11 +264,11 @@ def lsh_topk(
         banded(c_sig, "sig")
         .join(F.broadcast(banded(q_sig, "sig")), ["band", "band_key"])
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "qvec", "nid", "nvec")
+        .select("qid", "_qv", "_qn", "nid", "_nv", "_nn")
         .dropDuplicates(["qid", "nid"])
     )
     scored = cand.select(
-        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos")
+        "qid", "nid", F.round(_staged_cos("_qv", "_qn", "_nv", "_nn"), 6).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (

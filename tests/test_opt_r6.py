@@ -138,3 +138,68 @@ def test_vocab_drift_single_scan_matches_three_scan(spark):
     assert [tuple(r) for r in new.collect()] == [
         tuple(r) for r in legacy.collect()
     ]
+
+
+def test_remote_storage_flag_flips_persist_defaults(spark, monkeypatch):
+    """VERDICT r5 next #8: one session-wide switch
+    (spark.avro_conversions.remoteStorage) resolves every
+    recompute-vs-persist knob left at None — kmeans persist_points,
+    jaccard persist_shingles, classifier persist_features, engine
+    cache_input — instead of per-call tuning. Local default stays
+    recompute (flag absent/false)."""
+    import pyspark.sql.classic.dataframe as df_mod
+
+    from avro_conversions_spark import dedup
+    from avro_conversions_spark.functions import classifier as CLF
+    from avro_conversions_spark.session import REMOTE_STORAGE_CONF, remote_storage
+
+    assert remote_storage(spark) is False
+
+    calls = []
+    real_persist = df_mod.DataFrame.persist
+
+    def counting_persist(self, *a, **kw):
+        calls.append(1)
+        return real_persist(self, *a, **kw)
+
+    monkeypatch.setattr(df_mod.DataFrame, "persist", counting_persist)
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(40)
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").limit(40)
+
+    def drive():
+        calls.clear()
+        from avro_conversions_spark.clustering import kmeans_fit_assign
+
+        kmeans_fit_assign(emb, k=2, iters=1).count()
+        dedup.ngram_jaccard_pairs(docs, threshold=0.9).count()
+        train = docs.select("doc_id", "text").withColumn("y", F.lit(1)).unionByName(
+            CLF.gibberish_negatives(docs).withColumn("y", F.lit(0))
+        )
+        CLF.train_lr(train, "y", n_buckets=16, iters=1)
+        return len(calls)
+
+    assert drive() == 0  # flag off: every knob defaults to recompute
+    spark.conf.set(REMOTE_STORAGE_CONF, "true")
+    try:
+        assert remote_storage(spark) is True
+        assert drive() >= 3  # one persist per knob site
+    finally:
+        spark.conf.set(REMOTE_STORAGE_CONF, "false")
+
+    # engine cache_input: observable through the returned handle
+    from avro_conversions_spark.constraints import not_null
+    from avro_conversions_spark.engine import ValidationEngine
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").limit(40)
+    eng = ValidationEngine(row_constraints=[not_null("event_id")], key_cols=("event_id",))
+    res_local = eng.run(ev)
+    assert res_local.cached_input is None
+    spark.conf.set(REMOTE_STORAGE_CONF, "true")
+    try:
+        res_remote = eng.run(ev)
+        assert res_remote.cached_input is not None
+    finally:
+        spark.conf.set(REMOTE_STORAGE_CONF, "false")
+        res_remote.unpersist()
+        res_local.unpersist()
