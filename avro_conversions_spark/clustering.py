@@ -215,7 +215,7 @@ def semdedup(
             df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, with_distance=True
         )
         .withColumnRenamed(id_col, "pid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from avro_conversions_spark.functions.vectors import dot_double, norm
 
@@ -242,8 +242,15 @@ def semdedup(
     w = Window.partitionBy("cluster").orderBy(
         F.desc("dist2"), F.asc("pid")
     )
-    ranked = m.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "csize", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    # materialize the ranked frame ONCE (lazy checkpoint): it feeds the
+    # anchor slice, the pair join's member side, and the capped-flag
+    # projection — three consumers that would each replay the assign⋈vecs
+    # join plus both cluster windows. One job computes it; the block
+    # manager serves the other references from the cached partitions.
+    ranked = (
+        m.withColumn("rnk", F.row_number().over(w))
+        .withColumn("csize", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+        .localCheckpoint(eager=False)
     )
     anchors = ranked.where(F.col("rnk") <= max_cluster).select(
         F.col("cluster").alias("a_cl"),

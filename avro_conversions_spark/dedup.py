@@ -231,10 +231,11 @@ def minhash_lsh_candidates(
     bucket-local, no global cross join.
 
     The band rows come from ``minhash_band_keys`` (row-local signature,
-    zero shuffles) and are materialized ONCE via eager localCheckpoint
-    before the self-join: both join sides — and every downstream
-    reference from consumers like ngram_jaccard_pairs — read the
-    materialized band rows instead of re-deriving the signature pipeline
+    zero shuffles) and are materialized ONCE via localCheckpoint (lazy:
+    the first consuming job computes-and-caches them — one fewer driver
+    round trip than eager) before the self-join: both join sides — and
+    every downstream reference from consumers like ngram_jaccard_pairs —
+    read the materialized band rows instead of re-deriving the signature pipeline
     (the planner broadcasts one join side, and a broadcast build side
     cannot share work with the streamed side, so without the checkpoint
     the corpus was scanned and hashed twice per reference). The
@@ -242,7 +243,7 @@ def minhash_lsh_candidates(
     rows per document, never the text."""
     banded = minhash_band_keys(
         df, text_col, id_col, num_hashes, band_size, shingle_n, hash_fn
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -341,13 +342,8 @@ def ngram_jaccard_pairs(
         from avro_conversions_spark.session import remote_storage
 
         persist_shingles = remote_storage(df.sparkSession)
-    sh_all = doc_shingles(df, text_col, id_col, shingle_n)
-    if persist_shingles:
-        from pyspark.storagelevel import StorageLevel
-
-        sh_all = sh_all.persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sh_all
     cand = None
+    base = df
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
         cand_ids = (
@@ -355,15 +351,28 @@ def ngram_jaccard_pairs(
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        # only candidate docs' shingles enter the self-join (per-doc sizes
-        # are unaffected by dropping other docs)
-        sh = sh.join(cand_ids, id_col, "left_semi")
+        # restrict the DOCUMENTS to candidate ids BEFORE tokenizing
+        # (round 6): the semi-join used to run on the exploded shingle
+        # frame, so every non-candidate document was still tokenized and
+        # shingled (×3: sizes + both join sides) just to be dropped after
+        # the explode. Per-doc sizes and pair intersections only involve
+        # candidate docs, so filtering the doc table first is
+        # value-identical and skips the expensive projection for the
+        # (at 100 TB, overwhelming) non-candidate majority.
+        base = df.join(cand_ids, id_col, "left_semi")
+    sh = doc_shingles(base, text_col, id_col, shingle_n)
+    if persist_shingles:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_freq is not None:
         # document frequency is CORPUS-wide (computed on the unfiltered
-        # shingle frame): a stop-shingle's corpus frequency is what makes
-        # it a blow-up hazard, and the cap's semantics must not change
-        # when a candidate set narrows the docs entering the join
-        freq = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # corpus' shingles): a stop-shingle's corpus frequency is what
+        # makes it a blow-up hazard, and the cap's semantics must not
+        # change when a candidate set narrows the docs entering the join
+        freq = doc_shingles(df, text_col, id_col, shingle_n).groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
         keep = freq.where(F.col("_df") <= max_shingle_freq).select("shingle")
         sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -611,7 +620,7 @@ def connected_components(
         edges.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _star(edges_uv: DataFrame, large: bool) -> DataFrame:
@@ -651,9 +660,15 @@ def connected_components(
     for _ in range(max_iterations):
         # checkpoint BETWEEN the stars too: the small star references the
         # large star's output from several sub-plans (both join sides and
-        # the min-agg), which would otherwise double the work per round
-        e = _star(e, large=True).localCheckpoint(eager=True)
-        e = _star(e, large=False).localCheckpoint(eager=True)
+        # the min-agg), which would otherwise double the work per round.
+        # LAZY checkpoints (round 6): the _sig action materializes both
+        # stars' checkpoints in ONE job — the block manager caches each
+        # marked RDD's partitions the first time the job computes them, so
+        # multi-referenced sub-plans still evaluate once, but the loop pays
+        # one driver round trip per round instead of three (the CC loop is
+        # latency-bound: each round's data is a contracting long-pair list).
+        e = _star(e, large=True).localCheckpoint(eager=False)
+        e = _star(e, large=False).localCheckpoint(eager=False)
         sig = _sig(e)
         if sig == prev:
             break

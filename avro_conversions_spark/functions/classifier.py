@@ -24,10 +24,12 @@ oracle:
   step, exactly the k-means centroid pattern;
 - scoring: sigmoid of the sparse dot product, rounded to 4dp.
 
-Scale shape: each GD step is one explode of (doc, bucket, count) —
-linear in corpus tokens — followed by groupBy(bucket) with map-side
-partial aggregation, so the per-step shuffle payload is bounded by
-n_buckets+1 partials per task, never the token stream. Scoring is a
+Scale shape: the (doc, bucket, count) feature frame is tokenized and
+aggregated ONCE (one corpus scan), staged via localCheckpoint; each GD
+step is then a window-margin projection over the staged rows followed by
+groupBy(bucket) with map-side partial aggregation, so the per-step
+shuffle payload is the narrow staged rows plus n_buckets+1 partials per
+task, never the token stream. Scoring is a
 single narrow pass (literal weights, no join, no shuffle). The only
 driver state is the weight vector, identical in footprint to
 pyspark.ml's own LR aggregator.
@@ -134,50 +136,48 @@ def train_lr(
     n_buckets: int = 1024,
     iters: int = 3,
     lr: float = 1.0,
-    persist_features: bool | None = None,
 ) -> list[float]:
     """Full-batch GD on logistic loss; returns the learned weight list
     (length n_buckets+1, last = bias). label_col must be 0/1.
 
-    ``persist_features``: the feature frame feeds two subplans per
-    iteration (margins, then the gradient join), so without caching the
-    tokenize+hash+count lineage replays 2×iters times. On local
-    NVMe/page-cache profiles the recompute WINS (the round-3/4 jaccard
-    and cache_input findings); set True on remote object storage where
-    repeated corpus scans dominate. Default None = resolve from the
-    session-wide ``remote_storage`` flag."""
-    if persist_features is None:
-        from avro_conversions_spark.session import remote_storage
+    Round-6 shape: the (feature ⋈ label) frame is staged ONCE via
+    localCheckpoint and every GD step reads the materialized narrow rows.
+    The per-doc margin is a window sum, so one step = one (doc_id)
+    exchange of the staged rows + one bucket-keyed aggregation whose
+    shuffle is ≤ n_buckets+1 partials per task — no joins. The historical
+    loop paid 4 exchanges + 2 joins per step (groupBy(id) margins → join
+    labels → join feats → groupBy(bucket)) and replayed the
+    tokenize+hash+count lineage 2×iters times; the checkpoint reads the
+    corpus once, which also supersedes the old ``persist_features`` knob
+    on remote storage. Gradient values are the same Σ err·cnt per
+    bucket — only float summation ORDER shifts (absorbed by the 4dp score
+    rounding, same tolerance the DuckDB oracle already relies on)."""
+    from pyspark.sql import Window
 
-        persist_features = remote_storage(train.sparkSession)
     feats = _features(train, id_col, text_col, n_buckets)
-    if persist_features:
-        feats = feats.persist()
     labels = train.select(F.col(id_col), F.col(label_col).cast("double").alias("y"))
     n = train.count()
+    # NOTE: no pre-partitioning before the checkpoint — under AQE the
+    # LogicalRDD surfaces UnknownPartitioning, so a repartition here would
+    # be paid once and then thrown away; each step's window inserts its
+    # own (doc_id) exchange over the narrow staged rows instead.
+    staged = feats.join(labels, id_col).localCheckpoint(eager=True)
+    w_doc = Window.partitionBy(id_col)
     weights = [0.0] * (n_buckets + 1)
     for _ in range(iters):
-        margins = (
-            feats.groupBy(id_col)
-            .agg(_margin(weights).alias("z"))
-            .join(labels, id_col)
-            .select(
-                F.col(id_col),
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias(
-                    "err"
-                ),
-            )
-        )
+        warr = F.array(*[F.lit(x) for x in weights])
+        z = F.sum(
+            F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("cnt")
+        ).over(w_doc)
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
         grad_rows = (
-            feats.join(margins, id_col)
+            staged.select("bucket", (err * F.col("cnt")).alias("_c"))
             .groupBy("bucket")
-            .agg(F.sum(F.col("err") * F.col("cnt")).alias("g"))
+            .agg(F.sum("_c").alias("g"))
             .collect()
         )  # ≤ n_buckets+1 rows — driver-held by design
         for r in grad_rows:
             weights[r["bucket"]] -= lr * float(r["g"]) / n
-    if persist_features:
-        feats.unpersist()
     return weights
 
 

@@ -3,9 +3,9 @@ against a persisted baseline snapshot.
 
 ``foreachBatch`` is the Spark-first hook here: every micro-batch arrives
 as a bounded DataFrame, so the batch ``DriftConstraint`` applies verbatim
-— the t-digest reduction stays distributed (applyInPandas partials per
-hash bucket), only O(delta) centroids per column reach the driver for the
-KS evaluation, and the per-batch verdict rows append to the sink. No
+— the t-digest reduction stays distributed (zero-exchange mapInPandas
+partials per task), only O(delta) centroids per column reach the driver
+for the KS evaluation, and the per-batch verdict rows append to the sink. No
 custom state store is needed: the reference distribution lives in the
 baseline snapshot table (built once by ``DriftConstraint.snapshot``), and
 micro-batches are compared independently — exactly the monitoring shape

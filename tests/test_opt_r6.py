@@ -144,13 +144,14 @@ def test_remote_storage_flag_flips_persist_defaults(spark, monkeypatch):
     """VERDICT r5 next #8: one session-wide switch
     (spark.avro_conversions.remoteStorage) resolves every
     recompute-vs-persist knob left at None — kmeans persist_points,
-    jaccard persist_shingles, classifier persist_features, engine
-    cache_input — instead of per-call tuning. Local default stays
-    recompute (flag absent/false)."""
+    jaccard persist_shingles, engine cache_input — instead of per-call
+    tuning. Local default stays recompute (flag absent/false).
+    (classifier.train_lr dropped its persist_features knob in round 6:
+    the staged-features localCheckpoint reads the corpus once on every
+    storage profile, so there is nothing left to flip.)"""
     import pyspark.sql.classic.dataframe as df_mod
 
     from avro_conversions_spark import dedup
-    from avro_conversions_spark.functions import classifier as CLF
     from avro_conversions_spark.session import REMOTE_STORAGE_CONF, remote_storage
 
     assert remote_storage(spark) is False
@@ -173,17 +174,13 @@ def test_remote_storage_flag_flips_persist_defaults(spark, monkeypatch):
 
         kmeans_fit_assign(emb, k=2, iters=1).count()
         dedup.ngram_jaccard_pairs(docs, threshold=0.9).count()
-        train = docs.select("doc_id", "text").withColumn("y", F.lit(1)).unionByName(
-            CLF.gibberish_negatives(docs).withColumn("y", F.lit(0))
-        )
-        CLF.train_lr(train, "y", n_buckets=16, iters=1)
         return len(calls)
 
     assert drive() == 0  # flag off: every knob defaults to recompute
     spark.conf.set(REMOTE_STORAGE_CONF, "true")
     try:
         assert remote_storage(spark) is True
-        assert drive() >= 3  # one persist per knob site
+        assert drive() >= 2  # one persist per knob site
     finally:
         spark.conf.set(REMOTE_STORAGE_CONF, "false")
 
