@@ -121,7 +121,7 @@ def _features(
 def _margin(weights: list[float]) -> Column:
     """Σ w[bucket]·cnt over a doc's (bucket, cnt) pairs, as an agg over
     the exploded feature rows with the weight vector a literal array."""
-    w = F.array(*[F.lit(x) for x in weights])
+    w = F.lit([float(x) for x in weights])  # one Literal, not n_buckets+1 py4j calls
     # bucket is 0-based; element_at is 1-based
     return F.sum(
         F.element_at(w, (F.col("bucket") + 1).cast("int")) * F.col("cnt")
@@ -165,7 +165,7 @@ def train_lr(
     w_doc = Window.partitionBy(id_col)
     weights = [0.0] * (n_buckets + 1)
     for _ in range(iters):
-        warr = F.array(*[F.lit(x) for x in weights])
+        warr = F.lit([float(x) for x in weights])  # one Literal per step
         z = F.sum(
             F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("cnt")
         ).over(w_doc)

@@ -71,7 +71,7 @@ def stopword_hits(text: Column, lang: str) -> Column:
     """Number of *distinct* stopwords of ``lang`` present (set semantics,
     so the SQL oracle's list_intersect matches exactly)."""
     return F.size(
-        F.array_intersect(tokens(text), F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        F.array_intersect(tokens(text), F.lit(list(STOPWORDS[lang])))
     )
 
 

@@ -100,7 +100,7 @@ def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, see
     staged = df.withColumn("_lsh_v", to_double(F.col(vec_col)))
     bits = []
     for p in planes:
-        plane = F.array(*[F.lit(v) for v in p])
+        plane = F.lit(list(p))  # one Literal per plane, not dim py4j calls
         bits.append(
             F.when(dot_double(F.col("_lsh_v"), plane) > 0, F.lit("1")).otherwise(
                 F.lit("0")
@@ -171,7 +171,7 @@ def ivf_topk(
     # query-side probe list: distances to the (tiny, driver-held) centroid
     # set as a literal array — no join against the model needed
     centers = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    cent_arr = F.lit(centers)  # one nested-array Literal (see clustering.assign_clusters)
 
     def dist2(q: Column, c: Column) -> Column:
         return F.aggregate(

@@ -149,7 +149,7 @@ def exact_quantiles(
     """Exact interpolated percentiles (matches SQL quantile_cont).
     For the 100 TB path use approx_quantiles below."""
     probs = probs or [0.25, 0.5, 0.75]
-    qs = F.percentile(F.col(column), F.array(*[F.lit(p) for p in probs]))
+    qs = F.percentile(F.col(column), F.lit([float(p) for p in probs]))
     row = df.agg(qs.alias("qs"))
     pairs = F.array(
         *[
@@ -169,7 +169,7 @@ def approx_quantiles(
     """GK-sketch quantiles (percentile_approx) — single-pass, mergeable,
     the scale path for drift baselines."""
     probs = probs or [0.25, 0.5, 0.75]
-    qs = F.percentile_approx(F.col(column), F.array(*[F.lit(p) for p in probs]), accuracy)
+    qs = F.percentile_approx(F.col(column), F.lit([float(p) for p in probs]), accuracy)
     row = df.agg(qs.alias("qs"))
     pairs = F.array(
         *[

@@ -82,8 +82,10 @@ def transcripts(
         .otherwise(F.lit("assistant"))
     )
     # deterministic lorem: 5-12 words picked by hash, occasional unicode tail
-    words = F.array(*[F.lit(w) for w in _WORDS])
-    uni = F.array(*[F.lit(u) for u in _UNICODE_SAMPLES])
+    # single array literals (one py4j call + one Literal node each; a
+    # per-element CreateArray costs hundreds of driver round trips)
+    words = F.lit(list(_WORDS))
+    uni = F.lit(list(_UNICODE_SAMPLES))
     n_words = (F.pmod(h, 8) + 5).cast("int")
     text = F.concat_ws(
         " ",
@@ -98,7 +100,7 @@ def transcripts(
         F.pmod(h, 13) == 0,
         F.concat(text, F.lit(" "), F.element_at(uni, (F.pmod(h, len(_UNICODE_SAMPLES)) + 1).cast("int"))),
     ).otherwise(text)
-    tool_names = F.array(*[F.lit(t[0]) for t in TOOLS])
+    tool_names = F.lit([t[0] for t in TOOLS])
     tool = F.when(
         role == "tool",
         F.element_at(tool_names, (F.pmod(h, len(TOOLS)) + 1).cast("int")),
