@@ -126,12 +126,18 @@ def kmeans_fit_assign(
     # (downstream) join a cluster — they get NULL assignments instead of
     # crashing the init collect (round-5 adversarial sweep)
     valid = pts.where(F.col("v").isNotNull())
-    head = valid.orderBy("pid").select(F.size("v").alias("d")).head()
-    if head is None:
+    # fast path: ONE TakeOrdered job fetches the k smallest-id non-null
+    # vectors; the dimension is set by the first (smallest-id) row. Only
+    # when ragged vectors pollute the probe (rare) does the historical
+    # two-job path (dimension probe, then size-filtered init) re-run.
+    probe = valid.orderBy("pid").limit(k).collect()
+    if not probe:
         raise ValueError("no non-null vectors to initialize from")
-    init = (
-        valid.where(F.size("v") == head["d"]).orderBy("pid").limit(k).collect()
-    )
+    d = len(probe[0]["v"])
+    if all(len(r["v"]) == d for r in probe):
+        init = probe
+    else:
+        init = valid.where(F.size("v") == d).orderBy("pid").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"k={k} exceeds the {len(init)} valid input vectors")
     centroids = [[float(x) for x in r["v"]] for r in init]
@@ -262,17 +268,39 @@ def semdedup(
         F.col("dist2").alias("a_d2"),
         F.col("vn").alias("a_vn"),
     )
-    pairs = ranked.join(
-        anchors,
-        (F.col("cluster") == F.col("a_cl")) & (F.col("pid") != F.col("a_id")),
+    # the dominance ORDER predicate ((a_d2, a_id) after (dist2, pid)) goes
+    # INTO the join condition: it is a cheap scalar comparison, and pushing
+    # it below the pair output halves the candidate pairs before the
+    # 64-element interpreted dot fold — the expensive half of the predicate
+    # — ever evaluates (higher-order functions do not whole-stage-codegen,
+    # so each dot is an interpreted per-pair fold). Surviving (pair, dot)
+    # decisions are identical: the two predicates were conjoined anyway.
+    #
+    # SALT the cluster-keyed pair join (guide §2.5): with few cells the
+    # exchange hashes to ≤ k reducers, so the per-pair dot work of a hot
+    # cell serializes on one core (locally: k=8 cells on 32 cores leaves
+    # 3/4 idle; at production k ≈ 50k the salt resolves to 1 and the plan
+    # is unchanged). Member rows key on (cluster, rnk % S); the anchor
+    # side replicates S ways — anchors are the capped, narrow side. Pure
+    # partitioning change: the pair set and every dot are identical.
+    n_salt = max(
+        1, df.sparkSession.sparkContext.defaultParallelism // max(1, k)
     )
-    dominated = (
-        (F.round(dot_double(F.col("a_vn"), F.col("vn")), 6) >= F.lit(threshold))
+    member = ranked.withColumn("_salt", F.pmod(F.col("rnk"), F.lit(n_salt)))
+    anch_salted = anchors.withColumn(
+        "_asalt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    pairs = member.join(
+        anch_salted,
+        (F.col("cluster") == F.col("a_cl"))
+        & (F.col("_salt") == F.col("_asalt"))
+        & (F.col("pid") != F.col("a_id"))
         & (
             (F.col("a_d2") > F.col("dist2"))
             | ((F.col("a_d2") == F.col("dist2")) & (F.col("a_id") < F.col("pid")))
-        )
+        ),
     )
+    dominated = F.round(dot_double(F.col("a_vn"), F.col("vn")), 6) >= F.lit(threshold)
     pruned_ids = (
         pairs.where(dominated).select(F.col("pid")).distinct().withColumn(
             "pruned", F.lit(True)
