@@ -638,7 +638,7 @@ def q_ann_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity.brute_force_topk(emb, queries, k=5)
         .select("qid", "nid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lsh = similarity.lsh_topk(
         emb, queries, dim=64, k=5, n_planes=24, band_size=3
