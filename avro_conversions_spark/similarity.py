@@ -91,22 +91,35 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 7):
     """Add a bit-signature column from ``n_planes`` random hyperplanes.
-    The vector is cast to double ONCE as a staged column (referenced by
-    every plane's dot), not per plane inside ``dot`` — n_planes fresh
-    array allocations per row otherwise; sign bits are unchanged (the
-    plane literals are already doubles, so the hoisted cast is the
-    identical float op)."""
+
+    Round 6: the signature is ONE ``transform`` over a single nested
+    plane-matrix literal instead of n_planes separately-built dot folds —
+    building 24 independent Column trees cost ~2.8 s of driver-side py4j
+    time per call (measured; the JVM work was never the bottleneck). Per
+    plane, the dot and its sign bit are the identical float ops, so
+    signatures are bit-for-bit unchanged, including the all-zeros
+    signature a NULL/ragged vector produced before (NULL dot → sign bit
+    '0'), which the explicit otherwise-branch pins. The vector is cast to
+    double ONCE as a staged column; the size() probe in the guard is the
+    second reference that keeps CollapseProject from inlining the cast
+    into the lambda (n_planes re-evaluations per row otherwise — the
+    round-4 minhash trap)."""
     planes = [_hyperplane(dim, seed + i) for i in range(n_planes)]
     staged = df.withColumn("_lsh_v", to_double(F.col(vec_col)))
-    bits = []
-    for p in planes:
-        plane = F.lit(list(p))  # one Literal per plane, not dim py4j calls
-        bits.append(
-            F.when(dot_double(F.col("_lsh_v"), plane) > 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-        )
-    return staged.withColumn("sig", F.concat(*bits)).drop("_lsh_v")
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(dot_double(F.col("_lsh_v"), p) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        ),
+    )
+    # NULL/ragged vector → size() is NULL → otherwise-branch: the same
+    # all-'0' signature the historical per-plane concat emitted (a
+    # foldable constant — zero runtime cost).
+    sig = F.when(F.size(F.col("_lsh_v")) >= 0, F.array_join(bits, "")).otherwise(
+        F.lit("0" * n_planes)
+    )
+    return staged.withColumn("sig", sig).drop("_lsh_v")
 
 
 def ivf_topk(

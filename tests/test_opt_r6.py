@@ -200,3 +200,41 @@ def test_remote_storage_flag_flips_persist_defaults(spark, monkeypatch):
         spark.conf.set(REMOTE_STORAGE_CONF, "false")
         res_remote.unpersist()
         res_local.unpersist()
+
+
+def test_lsh_signature_single_transform_matches_per_plane(spark):
+    """Round-6: lsh_signature builds ONE transform over a nested plane
+    literal (the per-plane Column-tree loop cost ~2.8 s of py4j per call).
+    Signatures must be bit-identical to the historical per-plane concat —
+    including the all-'0' signature NULL/ragged/empty vectors produced."""
+    from avro_conversions_spark import similarity
+    from avro_conversions_spark.functions.vectors import dot_double, to_double
+
+    rows = [(1, [0.5, -0.25, 1.0, 0.0]), (2, [-1.0, 2.0, -3.0, 4.0])]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    adv = spark.createDataFrame(
+        [(3, None), (4, [1.0] * 2), (5, [])], "vec_id long, embedding array<float>"
+    )
+    df = base.unionByName(adv)
+
+    n_planes = 6
+    planes = [similarity._hyperplane(4, 7 + i) for i in range(n_planes)]
+    staged = df.withColumn("_v", to_double(F.col("embedding")))
+    bits = [
+        F.when(
+            dot_double(F.col("_v"), F.array(*[F.lit(v) for v in p])) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    old = {
+        r["vec_id"]: r["sig"]
+        for r in staged.withColumn("sig", F.concat(*bits)).select("vec_id", "sig").collect()
+    }
+    new = {
+        r["vec_id"]: r["sig"]
+        for r in similarity.lsh_signature(df, "embedding", 4, n_planes)
+        .select("vec_id", "sig")
+        .collect()
+    }
+    assert old == new
+    assert new[3] == "0" * n_planes  # NULL vector keeps the all-zeros bucket
