@@ -130,8 +130,15 @@ def curate(
         id_col, "dup_ngram_frac"
     )
     # left join: documents too short for trigrams have null dup_ngram_frac
-    # and can only fail earlier stages
-    sig = base.join(rep, id_col, "left")
+    # and can only fail earlier stages.
+    # localCheckpoint (round 6): ``sig`` feeds BOTH the keeper aggregation
+    # and the output join, and the two subtrees differ (one is filtered),
+    # so ReuseExchange can't kick in — without materialization the whole
+    # text pipeline (tokenize, quality score, fingerprint, trigram
+    # explode + two-phase agg) executed twice per run. ``sig`` is the
+    # narrow proxy of guide-§8: id + four scalars + a 32-char hash, never
+    # the text.
+    sig = base.join(rep, id_col, "left").localCheckpoint(eager=False)
 
     passes_123 = (
         (F.col("n_tokens") >= min_tokens)
