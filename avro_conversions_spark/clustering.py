@@ -67,7 +67,9 @@ def assign_clusters(
     # py4j round trips and a CreateArray tree Catalyst must constant-fold
     # on every call — measured ~0.2-0.5 s of per-iteration driver latency
     # at k=8, d=64. Values are bit-identical (same doubles, same type).
-    cent = F.lit([[float(x) for x in c] for c in centroids])
+    from avro_conversions_spark.functions.vectors import const_double_matrix
+
+    cent = const_double_matrix(centroids)
     best_raw = F.array_min(
         F.transform(
             cent,

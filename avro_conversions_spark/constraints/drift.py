@@ -35,7 +35,9 @@ def quantile_snapshot(
     """One row per column: (column, probs array<double>, quantiles
     array<double>). Single aggregation pass for ALL columns."""
     probs = [i / resolution for i in range(resolution + 1)]
-    prob_arr = F.lit([float(p) for p in probs])
+    from avro_conversions_spark.functions.vectors import const_double_array
+
+    prob_arr = const_double_array(probs)
     aggs = [
         F.percentile_approx(F.col(c).cast("double"), prob_arr, accuracy).alias(f"{c}__q")
         for c in columns

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from avro_conversions_spark.functions.vectors import const_double_array
+
 
 def token_buckets(text: Column, n_buckets: int) -> Column:
     """Lowercased whitespace tokens → md5 hash buckets (array<long>).
@@ -121,7 +123,7 @@ def _features(
 def _margin(weights: list[float]) -> Column:
     """Σ w[bucket]·cnt over a doc's (bucket, cnt) pairs, as an agg over
     the exploded feature rows with the weight vector a literal array."""
-    w = F.lit([float(x) for x in weights])  # one Literal, not n_buckets+1 py4j calls
+    w = const_double_array(weights)  # one py4j call, not n_buckets+1
     # bucket is 0-based; element_at is 1-based
     return F.sum(
         F.element_at(w, (F.col("bucket") + 1).cast("int")) * F.col("cnt")
@@ -165,7 +167,7 @@ def train_lr(
     w_doc = Window.partitionBy(id_col)
     weights = [0.0] * (n_buckets + 1)
     for _ in range(iters):
-        warr = F.lit([float(x) for x in weights])  # one Literal per step
+        warr = const_double_array(weights)  # one py4j call per step
         z = F.sum(
             F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("cnt")
         ).over(w_doc)

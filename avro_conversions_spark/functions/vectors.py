@@ -66,3 +66,38 @@ def dot_double(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def const_double_array(values) -> Column:
+    """array<double> literal built in ONE py4j call via a SQL text
+    expression. PySpark's ``F.lit(list)`` recurses into one ``lit`` py4j
+    round trip per element (measured 0.77 s for a 24×64 matrix), which
+    dominates driver-side plan build for iterative operators re-issuing
+    centroid/weight literals every step; ``F.expr`` ships one string and
+    parses on the JVM (~5 ms). ``repr`` emits the shortest decimal that
+    round-trips the double and Java's parser is correctly rounded, so the
+    literal values are bit-identical to the F.lit form (pinned by test).
+    Non-finite values (inf/nan) have no SQL literal — fall back to F.lit."""
+    import math
+
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.lit(vals)
+
+
+def const_double_matrix(rows) -> Column:
+    """array<array<double>> literal in one py4j call — see
+    const_double_array."""
+    import math
+
+    mat = [[float(v) for v in r] for r in rows]
+    if mat and all(r and all(math.isfinite(v) for v in r) for r in mat):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(v) + "D" for v in r) + ")" for r in mat
+            )
+            + ")"
+        )
+    return F.lit(mat)

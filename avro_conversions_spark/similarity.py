@@ -106,7 +106,9 @@ def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, see
     round-4 minhash trap)."""
     planes = [_hyperplane(dim, seed + i) for i in range(n_planes)]
     staged = df.withColumn("_lsh_v", to_double(F.col(vec_col)))
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    from avro_conversions_spark.functions.vectors import const_double_matrix
+
+    planes_lit = const_double_matrix(planes)
     bits = F.transform(
         planes_lit,
         lambda p: F.when(dot_double(F.col("_lsh_v"), p) > 0, F.lit("1")).otherwise(
@@ -184,7 +186,9 @@ def ivf_topk(
     # query-side probe list: distances to the (tiny, driver-held) centroid
     # set as a literal array — no join against the model needed
     centers = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_arr = F.lit(centers)  # one nested-array Literal (see clustering.assign_clusters)
+    from avro_conversions_spark.functions.vectors import const_double_matrix
+
+    cent_arr = const_double_matrix(centers)
 
     def dist2(q: Column, c: Column) -> Column:
         return F.aggregate(

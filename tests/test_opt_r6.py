@@ -238,3 +238,37 @@ def test_lsh_signature_single_transform_matches_per_plane(spark):
     }
     assert old == new
     assert new[3] == "0" * n_planes  # NULL vector keeps the all-zeros bucket
+
+
+def test_const_double_literals_bit_identical_to_lit(spark):
+    """Round-6: const_double_array/matrix build array literals via one
+    SQL-text expr (one py4j call) instead of F.lit's per-element
+    recursion. repr() emits the shortest round-tripping decimal and the
+    JVM parser is correctly rounded, so values must be BIT-identical —
+    compared here through Double.doubleToLongBits-style struct equality
+    on awkward doubles (subnormals, -0.0, ulp-separated pairs)."""
+    import math
+    import random
+
+    from avro_conversions_spark.functions.vectors import (
+        const_double_array,
+        const_double_matrix,
+    )
+
+    rnd = random.Random(42)
+    awkward = [
+        0.0, -0.0, 1.0, -1.0, 1e-300, -1e-300, 5e-324, 1.7976931348623157e308,
+        math.pi, 1 / 3, math.nextafter(1.0, 2.0), 0.1 + 0.2,
+    ] + [rnd.uniform(-1e6, 1e6) for _ in range(50)]
+    df = spark.range(1)
+    got = df.select(const_double_array(awkward).alias("a")).collect()[0]["a"]
+    want = df.select(F.lit([float(x) for x in awkward]).alias("a")).collect()[0]["a"]
+    assert [math.copysign(1, g) for g in got] == [math.copysign(1, w) for w in want]
+    assert got == want
+    mat = [awkward[i::4] for i in range(4)]
+    gm = df.select(const_double_matrix(mat).alias("a")).collect()[0]["a"]
+    wm = df.select(F.lit([[float(x) for x in r] for r in mat]).alias("a")).collect()[0]["a"]
+    assert [list(r) for r in gm] == [list(r) for r in wm]
+    # non-finite falls back to F.lit (no SQL literal for nan/inf)
+    nf = df.select(const_double_array([1.0, float("nan")]).alias("a")).collect()[0]["a"]
+    assert nf[0] == 1.0 and math.isnan(nf[1])
