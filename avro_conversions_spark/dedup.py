@@ -101,6 +101,7 @@ def with_minhash_signature(
     num_hashes: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """ROW-LOCAL MinHash signature: ``out_col`` = array of ``num_hashes``
     min-hashes computed entirely within each row (tokens → shingles →
@@ -126,7 +127,11 @@ def with_minhash_signature(
     slower)."""
     from avro_conversions_spark.functions.text import shingles_from_tokens, tokens
 
-    staged = df.withColumn("_mh_toks", tokens(F.col(text_col))).withColumn(
+    # ``tokens_col``: callers that already staged the token array (e.g. a
+    # min-token filter) pass it here so the tokenizer runs once per row,
+    # not once for the filter and again for the signature (round 6).
+    toks = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    staged = df.withColumn("_mh_toks", toks).withColumn(
         "_mh_shingles", shingles_from_tokens(F.col("_mh_toks"), shingle_n)
     )
     if hash_fn == "xxhash":

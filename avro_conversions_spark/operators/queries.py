@@ -257,8 +257,14 @@ def q_minhash_rowsig_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls back to a whole-text shingle the SQL oracle has no row for)."""
     from avro_conversions_spark.functions.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").where(F.size(tokens(F.col("text"))) >= 3)
-    sig = dedup.with_minhash_signature(docs, num_hashes=4)
+    # stage the token array ONCE: the >=3-token filter and the signature
+    # both read it (previously each ran the tokenizer separately)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("_toks", tokens(F.col("text")))
+        .where(F.size("_toks") >= 3)
+    )
+    sig = dedup.with_minhash_signature(docs, num_hashes=4, tokens_col="_toks")
     return sig.select(
         "doc_id",
         F.concat_ws(
